@@ -1,0 +1,76 @@
+"""MVDR beamformer (component C9, SURVEY.md §3.4).
+
+w[f] = R[f]^{-1} d[f] / (d[f]^H R[f]^{-1} d[f]) per bin, applied to every
+frame of the block: Y[t, f] = w[f]^H X[:, t, f].
+
+Numerics (SURVEY.md §7.4 "MVDR numerics"): the complex Hermitian solve runs
+as an equivalent REAL symmetric-positive-definite system of twice the size,
+
+    [[Rr, -Ri], [Ri, Rr]] [yr; yi] = [dr; di],
+
+because complex Cholesky is not reliably lowered on TPU while real Cholesky
+is; fp32 everywhere (never bf16 in the solve), diagonal loading applied
+before factorisation, validated against numpy complex solves in fp64.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mcax.algos import covariance as cov_mod
+
+
+def hermitian_solve(r: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Solve R y = d for Hermitian positive-definite R, batched.
+
+    Args:
+      r: complex64 [..., C, C] (Hermitian PD — diagonally loaded upstream).
+      d: complex64 [..., C].
+    Returns:
+      y: complex64 [..., C].
+    """
+    c = r.shape[-1]
+    rr, ri = jnp.real(r), jnp.imag(r)
+    big = jnp.concatenate([
+        jnp.concatenate([rr, -ri], axis=-1),
+        jnp.concatenate([ri, rr], axis=-1),
+    ], axis=-2)                                            # [..., 2C, 2C]
+    rhs = jnp.concatenate([jnp.real(d), jnp.imag(d)], axis=-1)[..., None]
+    chol = jax.lax.linalg.cholesky(big)
+    y = jax.lax.linalg.triangular_solve(chol, rhs, left_side=True, lower=True)
+    y = jax.lax.linalg.triangular_solve(chol, y, left_side=True, lower=True,
+                                        transpose_a=True)
+    y = y[..., 0]
+    return jax.lax.complex(y[..., :c], y[..., c:])
+
+
+def weights(cov: jnp.ndarray, steer: jnp.ndarray, diag_load: float) -> jnp.ndarray:
+    """MVDR weights per bin.
+
+    Args:
+      cov: complex64 [F, C, C] spatial covariance.
+      steer: complex64 steering vector [..., C, F] (leading axes = sources).
+    Returns:
+      w: complex64 [..., C, F] with the distortionless property w^H d = 1.
+    """
+    r = cov_mod.loaded(cov, diag_load)                     # [F, C, C]
+    d = jnp.moveaxis(steer, -1, -2)                        # [..., F, C]
+    y = hermitian_solve(jnp.broadcast_to(r, d.shape[:-1] + r.shape[-2:]), d)
+    denom = jnp.sum(jnp.conj(d) * y, axis=-1, keepdims=True)
+    denom = jnp.where(jnp.abs(denom) > 1e-12, denom,
+                      jnp.asarray(1e-12, denom.dtype))
+    w = y / denom                                          # [..., F, C]
+    return jnp.moveaxis(w, -1, -2)                         # [..., C, F]
+
+
+def beamform(spectra: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Apply weights: Y = w^H X.
+
+    Args:
+      spectra: complex64 [C, T, F].
+      w: complex64 [..., C, F] (leading axes = sources).
+    Returns:
+      complex64 [..., T, F].
+    """
+    return jnp.einsum("...cf,ctf->...tf", jnp.conj(w), spectra)

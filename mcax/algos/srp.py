@@ -1,0 +1,71 @@
+"""SRP-PHAT steered-power DOA over a candidate grid (component C6).
+
+Reference analogue: mcarray's multi-mic SRP-PHAT localisation module built on
+dspone's SubBandSTFT (SURVEY.md §3.3) — a triple loop over (grid, pair, bin)
+per frame.  Here the whole block is two real matmuls on the MXU
+(kernels.steer.srp_power) over the PHAT-weighted cross-power spectra, then a
+device-side argmax so no per-frame host round-trip is needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcax import geometry as geo
+from mcax.kernels import cps as kcps
+from mcax.kernels import steer as ksteer
+
+
+@dataclasses.dataclass(frozen=True)
+class SrpPlan:
+    """Static plan: steering matrices + grid for a geometry/FFT size."""
+    n_fft: int
+    azimuths_rad: np.ndarray       # [G]
+    e_re: np.ndarray               # [P*F, G]
+    e_im: np.ndarray               # [P*F, G]
+    steer_re: np.ndarray           # [G, C, F] per-mic steering vector (cos)
+    steer_im: np.ndarray           # [G, C, F] (sin); v = e^{-j omega t_c}
+
+
+def make_plan(geom: geo.ArrayGeometry, n_fft: int,
+              grid_points: int = 360) -> SrpPlan:
+    az = geo.azimuth_grid(grid_points)
+    e_re, e_im = ksteer.steering_matrices(geom, az, n_fft)
+    f = n_fft // 2 + 1
+    omega = 2.0 * np.pi * geom.sample_rate * np.arange(f) / n_fft
+    t = geom.mic_delays(az)                                # [G, C] seconds
+    phase = -omega[None, None, :] * t[:, :, None]          # [G, C, F]
+    return SrpPlan(n_fft=n_fft, azimuths_rad=az,
+                   e_re=e_re, e_im=e_im,
+                   steer_re=np.cos(phase).astype(np.float32),
+                   steer_im=np.sin(phase).astype(np.float32))
+
+
+def srp_surface(spectra: jnp.ndarray, pairs: np.ndarray, plan: SrpPlan,
+                eps: float = kcps.DEFAULT_PHAT_EPS) -> jnp.ndarray:
+    """Steered-power surface per frame: [..., C, T, F] → [..., T, G]."""
+    g = kcps.cps_phat(spectra, pairs, eps=eps)
+    return ksteer.srp_power(g, plan.e_re, plan.e_im)
+
+
+def argmax_doa(power: jnp.ndarray, plan: SrpPlan):
+    """(azimuth_rad, power_at_peak) from a power surface [..., G]."""
+    k = jnp.argmax(power, axis=-1)
+    az = jnp.asarray(plan.azimuths_rad, jnp.float32)[k]
+    pk = jnp.take_along_axis(power, k[..., None], axis=-1)[..., 0]
+    return az, pk
+
+
+def steering_vector(plan: SrpPlan, grid_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather the complex steering vector v = e^{-j omega t_c(theta_g)}.
+
+    grid_idx: int [...] → complex64 [..., C, F].  Used to hand an SRP (or
+    tracker) DOA to the delay-sum / MVDR beamformers without leaving device.
+    """
+    vr = jnp.take(jnp.asarray(plan.steer_re), grid_idx, axis=0)
+    vi = jnp.take(jnp.asarray(plan.steer_im), grid_idx, axis=0)
+    return jax.lax.complex(vr, vi)

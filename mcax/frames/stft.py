@@ -1,0 +1,67 @@
+"""Framing and short-time Fourier analysis (component C2/C3 glue).
+
+The reference's dspone ShortTimeProcess consumes a circular buffer one frame
+at a time (window → wipp_fft → virtual per-frame hook).  TPU-natively, a whole
+block of audio is framed into a single batched tensor ``[..., T, L]`` and one
+jitted call transforms every frame at once — the per-frame virtual-method hot
+loop (SURVEY.md §3.1) becomes one batched matmul-form rFFT on the MXU.
+
+Frame extraction uses a static gather index (block length, frame length and
+hop are all compile-time constants), so XLA sees fully static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from mcax.kernels import fft as kfft
+
+
+def num_frames(block_len: int, frame_len: int, hop: int) -> int:
+    """Number of complete frames in a block (no padding; tail samples remain
+    in the streaming input buffer, matching the reference's circular-buffer
+    semantics of only processing complete frames)."""
+    if block_len < frame_len:
+        return 0
+    return (block_len - frame_len) // hop + 1
+
+
+@functools.lru_cache(maxsize=None)
+def _frame_indices(block_len: int, frame_len: int, hop: int) -> np.ndarray:
+    t = num_frames(block_len, frame_len, hop)
+    return (np.arange(t)[:, None] * hop + np.arange(frame_len)[None, :]).astype(np.int32)
+
+
+def frame_signal(x: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
+    """[..., N] → [..., T, frame_len] by strided gather (static indices)."""
+    idx = _frame_indices(x.shape[-1], frame_len, hop)
+    return x[..., idx]
+
+
+def stft(x: jnp.ndarray, window: np.ndarray, hop: int) -> jnp.ndarray:
+    """Windowed short-time spectra of a block.
+
+    Args:
+      x: real samples [..., N] (typically [C, N]).
+      window: analysis window [L] (host constant).
+      hop: frame advance in samples.
+    Returns:
+      complex64 spectra [..., T, F] with F = L//2 + 1.
+    """
+    frames = frame_signal(x, int(window.shape[0]), hop)
+    frames = frames * jnp.asarray(window)
+    return kfft.rfft(frames)
+
+
+def istft_frames(spectra: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
+    """Inverse transform + synthesis windowing; OLA is a separate stage.
+
+    [..., T, F] complex → [..., T, L] real, each frame multiplied by the
+    synthesis window.  Overlap-add (mcax.frames.ola) completes resynthesis.
+    """
+    frame_len = int(window.shape[0])
+    frames = kfft.irfft(spectra, frame_len)
+    return frames * jnp.asarray(window)

@@ -1,0 +1,50 @@
+"""Multichannel WAV read/write (component C12, SURVEY.md §2a).
+
+The reference's demo/test binaries read multichannel PCM WAV and feed
+fixed-size blocks through the modules; mcax does the same with
+scipy.io.wavfile (no soundfile in this environment).  Samples are float32 in
+[-1, 1] internally, shaped channels-first [C, N] to match the pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+from scipy.io import wavfile
+
+_INT_SCALE = {np.dtype(np.int16): 32768.0,
+              np.dtype(np.int32): 2147483648.0,
+              np.dtype(np.uint8): 128.0}
+
+
+def read_wav(path: str) -> Tuple[int, np.ndarray]:
+    """Read a WAV file → (sample_rate, float32 samples [C, N] in [-1, 1])."""
+    rate, data = wavfile.read(path)
+    if data.ndim == 1:
+        data = data[:, None]
+    dt = data.dtype
+    if dt in _INT_SCALE:
+        if dt == np.dtype(np.uint8):
+            data = (data.astype(np.float32) - 128.0) / 128.0
+        else:
+            data = data.astype(np.float32) / _INT_SCALE[dt]
+    else:
+        data = data.astype(np.float32)
+    return int(rate), np.ascontiguousarray(data.T)
+
+
+def write_wav(path: str, sample_rate: int, samples: np.ndarray,
+              dtype=np.int16) -> None:
+    """Write float32 [C, N] (or [N]) samples in [-1, 1] to a PCM WAV."""
+    x = np.asarray(samples, dtype=np.float32)
+    if x.ndim == 2:
+        x = x.T                                    # scipy wants [N, C]
+    x = np.clip(x, -1.0, 1.0)
+    if dtype == np.int16:
+        out = (x * 32767.0).astype(np.int16)
+    elif dtype == np.float32:
+        out = x
+    else:
+        raise ValueError(f"unsupported dtype {dtype}")
+    wavfile.write(path, sample_rate, out)

@@ -1,0 +1,218 @@
+"""rFFT / irFFT kernels (component C3, SURVEY.md §2a — native tier).
+
+The reference's hot inner loop is wipp_fft (Intel IPP ippsFFT or a generic
+C fallback), called once per frame per channel (SURVEY.md §3.1).  TPUs have
+no FFT unit; the TPU-native formulation is a *matmul-form real DFT*: every
+frame of the block is one row of a [B, N] matrix multiplied by precomputed
+[N, F] cosine/sine matrices on the MXU.  At the shipped sizes (N = 512..2048)
+the O(N^2) matmul is tiny per frame and saturates the MXU when batched over
+(channels x frames), which an O(N log N) scalar FFT cannot do on this
+hardware (SURVEY.md §7.4 "FFT on TPU/Pallas").
+
+Three implementations:
+  * Pallas kernel (``pallas`` backend): tiled fused two-matmul producing the
+    real and imaginary planes in one pass, fp32 accumulation on the MXU.
+  * jnp matmul form: identical math via jnp.dot — used as the interpret-mode
+    oracle and for platforms where Pallas is unavailable.
+  * ``jnp.fft.rfft``/``irfft`` (``xla`` backend): XLA's decomposed FFT —
+    bitwise-trusted correctness reference.
+
+Public API is complex64-at-the-boundary so every algorithm above this module
+is backend-agnostic: ``rfft(x) -> complex[..., F]``, ``irfft(y, n) -> real``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcax.kernels import dispatch
+
+_LANE = 128      # TPU lane width: last-dim tiles must be multiples of this.
+_SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Host-side DFT matrix precompute (float64 → float32, cached per size).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _fwd_matrices(n: int, f_pad: int):
+    """Forward real-DFT matrices W st. X = x @ (Wr + j Wi), shapes [N, Fp]."""
+    f = n // 2 + 1
+    k = np.arange(f)[None, :]                     # [1, F]
+    t = np.arange(n)[:, None]                     # [N, 1]
+    ang = -2.0 * np.pi * k * t / n
+    wr = np.zeros((n, f_pad), np.float64)
+    wi = np.zeros((n, f_pad), np.float64)
+    wr[:, :f] = np.cos(ang)
+    wi[:, :f] = np.sin(ang)
+    return wr.astype(np.float32), wi.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_matrices(n: int, f_pad: int):
+    """Inverse matrices A st. x = Yre @ Ar + Yim @ Ai, shapes [Fp, N].
+
+    Hermitian-symmetry expansion of the length-N inverse DFT of a half
+    spectrum: x[t] = (1/N) [X0 + 2 sum_{k=1}^{N/2-1} (Xr cos - Xi sin)
+    + X_{N/2} cos(pi t)].
+    """
+    f = n // 2 + 1
+    k = np.arange(f)[:, None]                     # [F, 1]
+    t = np.arange(n)[None, :]                     # [1, N]
+    ang = 2.0 * np.pi * k * t / n
+    alpha = np.full((f, 1), 2.0)
+    alpha[0, 0] = 1.0
+    alpha[-1, 0] = 1.0 if n % 2 == 0 else 2.0
+    ar = np.zeros((f_pad, n), np.float64)
+    ai = np.zeros((f_pad, n), np.float64)
+    ar[:f] = alpha * np.cos(ang) / n
+    ai[:f] = -alpha * np.sin(ang) / n
+    return ar.astype(np.float32), ai.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _rdft_kernel(x_ref, wr_ref, wi_ref, yr_ref, yi_ref):
+    x = x_ref[...]
+    yr_ref[...] = jnp.dot(x, wr_ref[...], preferred_element_type=jnp.float32)
+    yi_ref[...] = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
+
+
+def _irdft_kernel(yr_ref, yi_ref, ar_ref, ai_ref, x_ref):
+    x_ref[...] = (
+        jnp.dot(yr_ref[...], ar_ref[...], preferred_element_type=jnp.float32)
+        + jnp.dot(yi_ref[...], ai_ref[...], preferred_element_type=jnp.float32)
+    )
+
+
+def _pick_tiles(b: int, k: int, n_out: int, vmem_budget=12 * 2 ** 20):
+    """Choose (TB, TN) tiles: weights 2*K*TN + io TB*(K+2*TN) floats in VMEM."""
+    tb = min(_round_up(b, _SUBLANE), 512)
+    tn = n_out
+    while 4 * (2 * k * tn + tb * (k + 2 * tn)) > vmem_budget and tn > _LANE:
+        tn //= 2
+    return tb, tn
+
+
+def _rdft_pallas(x2d: jnp.ndarray, n: int):
+    b = x2d.shape[0]
+    f = n // 2 + 1
+    f_pad = _round_up(f, _LANE)
+    wr, wi = _fwd_matrices(n, f_pad)
+    tb, tf = _pick_tiles(b, n, f_pad)
+    b_pad = _round_up(b, tb)
+    if b_pad != b:
+        x2d = jnp.pad(x2d, ((0, b_pad - b), (0, 0)))
+    grid = (b_pad // tb, f_pad // tf)
+    yr, yi = pl.pallas_call(
+        _rdft_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, tf), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tf), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b_pad, f_pad), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * n * f_pad,
+            bytes_accessed=4 * (b_pad * n + 2 * n * f_pad + 2 * b_pad * f_pad),
+            transcendentals=0,
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(x2d, jnp.asarray(wr), jnp.asarray(wi))
+    return yr[:b, :f], yi[:b, :f]
+
+
+def _irdft_pallas(yr2d: jnp.ndarray, yi2d: jnp.ndarray, n: int):
+    b, f = yr2d.shape
+    f_pad = _round_up(f, _SUBLANE)
+    ar, ai = _inv_matrices(n, f_pad)
+    tb, tn = _pick_tiles(b, f_pad, n)
+    b_pad = _round_up(b, tb)
+    if f_pad != f:
+        yr2d = jnp.pad(yr2d, ((0, 0), (0, f_pad - f)))
+        yi2d = jnp.pad(yi2d, ((0, 0), (0, f_pad - f)))
+    if b_pad != b:
+        yr2d = jnp.pad(yr2d, ((0, b_pad - b), (0, 0)))
+        yi2d = jnp.pad(yi2d, ((0, b_pad - b), (0, 0)))
+    grid = (b_pad // tb, n // tn)
+    x = pl.pallas_call(
+        _irdft_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, f_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, f_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * n * f_pad,
+            bytes_accessed=4 * (2 * b_pad * f_pad + 2 * n * f_pad + b_pad * n),
+            transcendentals=0,
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(yr2d, yi2d, jnp.asarray(ar), jnp.asarray(ai))
+    return x[:b]
+
+
+# ---------------------------------------------------------------------------
+# jnp matmul form (oracle for the Pallas kernels; portable fallback)
+# ---------------------------------------------------------------------------
+
+def rfft_matmul(x: jnp.ndarray) -> jnp.ndarray:
+    n = x.shape[-1]
+    wr, wi = _fwd_matrices(n, n // 2 + 1)
+    x = x.astype(jnp.float32)
+    return jax.lax.complex(x @ wr, x @ wi)
+
+
+def irfft_matmul(y: jnp.ndarray, n: int) -> jnp.ndarray:
+    ar, ai = _inv_matrices(n, y.shape[-1])
+    return jnp.real(y).astype(jnp.float32) @ ar + jnp.imag(y).astype(jnp.float32) @ ai
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def rfft(x: jnp.ndarray) -> jnp.ndarray:
+    """Real FFT over the last axis: [..., N] float → [..., N//2+1] complex64."""
+    n = x.shape[-1]
+    if dispatch.use_pallas():
+        lead = x.shape[:-1]
+        b = int(np.prod(lead)) if lead else 1
+        yr, yi = _rdft_pallas(x.reshape(b, n).astype(jnp.float32), n)
+        return jax.lax.complex(yr, yi).reshape(*lead, n // 2 + 1)
+    return jnp.fft.rfft(x.astype(jnp.float32)).astype(jnp.complex64)
+
+
+def irfft(y: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inverse real FFT over the last axis: [..., F] complex → [..., n] float32."""
+    if dispatch.use_pallas():
+        lead = y.shape[:-1]
+        b = int(np.prod(lead)) if lead else 1
+        f = y.shape[-1]
+        x = _irdft_pallas(jnp.real(y).reshape(b, f).astype(jnp.float32),
+                          jnp.imag(y).reshape(b, f).astype(jnp.float32), n)
+        return x.reshape(*lead, n)
+    return jnp.fft.irfft(y, n=n).astype(jnp.float32)

@@ -1,0 +1,232 @@
+"""Config-driven end-to-end pipelines (component L4, SURVEY.md §1b).
+
+One ``Pipeline`` object per acceptance config.  Where the reference runs a
+virtual-method-per-frame hot loop inside dsp::ShortTimeProcess::process
+(SURVEY.md §3.1), mcax compiles ONE function that processes an entire block —
+framing, windowing, batched matmul-form rFFT, the per-config algorithm,
+inverse transform and streaming overlap-add — with all streaming state
+(input carry, OLA tails, covariance, tracks) as an explicit donated pytree.
+
+    pipe = Pipeline(config.CONFIG3)
+    state = pipe.init_state()
+    state, out = pipe.process_block(state, samples)   # [C, block_len]
+
+``out`` is a flat dict of device arrays whose structure is static per config
+(doa / tdoa / peak / audio / power), so the host loop never retraces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcax import config as cfg_mod
+from mcax import geometry as geo
+from mcax.algos import covariance as cov_mod
+from mcax.algos import delaysum
+from mcax.algos import gcc
+from mcax.algos import masking
+from mcax.algos import mvdr
+from mcax.algos import srp
+from mcax.algos import tracking
+from mcax.frames import stft as stft_mod
+from mcax.frames.ola import streaming_overlap_add
+from mcax.frames.window import make_windows
+from mcax.state import PipelineState
+
+_SYNTH_ALGOS = ("delaysum", "mvdr", "srp_mvdr", "track_mvdr", "mask")
+_COV_ALGOS = ("mvdr", "srp_mvdr", "track_mvdr")
+_SRP_ALGOS = ("srp", "srp_mvdr", "track_mvdr")
+
+
+class Pipeline:
+    """A jit-compiled streaming block processor for one PipelineConfig."""
+
+    def __init__(self, cfg: cfg_mod.PipelineConfig, jit: bool = True,
+                 donate: bool = True):
+        self.cfg = cfg
+        self.geom = cfg.geometry()
+        self.pairs = self.geom.pairs
+        s = cfg.stft
+        self.win_a, self.win_s = make_windows(s.frame_len, s.hop, s.synthesis)
+        algo = cfg.algo.name
+
+        self.gcc_plan = (gcc.make_plan(self.geom, s.frame_len)
+                         if algo == "gcc" else None)
+        self.srp_plan = (srp.make_plan(self.geom, s.frame_len,
+                                       cfg.algo.grid_points)
+                         if algo in _SRP_ALGOS else None)
+        self.fixed_steer = (delaysum.steering_vector(
+            self.geom, cfg.algo.steer_azimuth_rad, s.frame_len)
+            if algo in ("delaysum", "mvdr") else None)
+        self.mask_phase = (masking.expected_phase(
+            self.geom, cfg.algo.steer_azimuth_rad, s.frame_len)
+            if algo == "mask" else None)
+        if algo in _SRP_ALGOS:
+            deg_per_bin = 360.0 / cfg.algo.grid_points
+            self.suppress_bins = max(1, int(round(
+                cfg.algo.peak_suppression_deg / deg_per_bin)))
+        step = self._block_step
+        if jit:
+            step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        self._step = step
+
+    # ------------------------------------------------------------------
+    @property
+    def frames_per_block(self) -> int:
+        return self.cfg.frames_per_block
+
+    @property
+    def out_samples_per_block(self) -> int:
+        return self.frames_per_block * self.cfg.stft.hop
+
+    def init_state(self) -> PipelineState:
+        cfg = self.cfg
+        c = self.geom.num_mics
+        lh = cfg.stft.frame_len - cfg.stft.hop
+        algo = cfg.algo.name
+        ola_tail = None
+        if algo in _SYNTH_ALGOS:
+            if algo == "track_mvdr":
+                ola_tail = jnp.zeros((cfg.algo.num_sources, lh), jnp.float32)
+            else:
+                ola_tail = jnp.zeros((lh,), jnp.float32)
+        cov = (cov_mod.init(cfg.stft.num_bins, c)
+               if algo in _COV_ALGOS else None)
+        tracks = (tracking.init_tracks(cfg.algo.num_sources)
+                  if algo == "track_mvdr" else None)
+        return PipelineState(
+            carry=jnp.zeros((c, lh), jnp.float32),
+            block_idx=jnp.zeros((), jnp.int32),
+            ola_tail=ola_tail,
+            cov=cov,
+            tracks=tracks,
+        )
+
+    def process_block(self, state: PipelineState, samples) -> Tuple[
+            PipelineState, Dict[str, jnp.ndarray]]:
+        return self._step(state, jnp.asarray(samples, jnp.float32))
+
+    # ------------------------------------------------------------------
+    def _block_step(self, state: PipelineState, samples: jnp.ndarray):
+        cfg = self.cfg
+        hop = cfg.stft.hop
+        x = jnp.concatenate([state.carry, samples], axis=-1)
+        t = cfg.frames_per_block
+        new_carry = x[:, t * hop:]
+        spectra = stft_mod.stft(x, self.win_a, hop)        # [C, T, F]
+
+        algo = cfg.algo.name
+        out: Dict[str, jnp.ndarray] = {}
+        new_tail, new_cov, new_tracks = state.ola_tail, state.cov, state.tracks
+
+        if algo == "gcc":
+            res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
+                                     eps=cfg.algo.phat_eps,
+                                     interpolate=cfg.algo.interpolate)
+            out = {"tdoa": res["tdoa"], "doa": res["doa"], "peak": res["peak"]}
+
+        elif algo == "delaysum":
+            steer = jnp.asarray(self.fixed_steer)
+            y = delaysum.beamform(spectra, steer)          # [T, F]
+            out["audio"], new_tail = self._resynth(y, state.ola_tail)
+
+        elif algo == "mask":
+            y = masking.mask_block(spectra, jnp.asarray(self.mask_phase),
+                                   cfg.algo.mask_threshold_rad,
+                                   cfg.algo.mask_sharpness)
+            out["audio"], new_tail = self._resynth(y, state.ola_tail)
+
+        elif algo == "srp":
+            power = srp.srp_surface(spectra, self.pairs, self.srp_plan,
+                                    eps=cfg.algo.phat_eps)   # [T, G]
+            az, pk = srp.argmax_doa(power, self.srp_plan)
+            out = {"doa": az, "power": pk}
+
+        elif algo == "mvdr":
+            new_cov = cov_mod.update(state.cov, spectra, cfg.algo.cov_forget)
+            w = mvdr.weights(new_cov, jnp.asarray(self.fixed_steer),
+                             cfg.algo.diag_load)
+            y = mvdr.beamform(spectra, w)                  # [T, F]
+            out["audio"], new_tail = self._resynth(y, state.ola_tail)
+
+        elif algo == "srp_mvdr":
+            power = srp.srp_surface(spectra, self.pairs, self.srp_plan,
+                                    eps=cfg.algo.phat_eps)
+            pmean = jnp.mean(power, axis=-2)               # [G]
+            gidx = jnp.argmax(pmean, axis=-1)
+            steer = srp.steering_vector(self.srp_plan, gidx)   # [C, F]
+            new_cov = cov_mod.update(state.cov, spectra, cfg.algo.cov_forget)
+            w = mvdr.weights(new_cov, steer, cfg.algo.diag_load)
+            y = mvdr.beamform(spectra, w)
+            out["audio"], new_tail = self._resynth(y, state.ola_tail)
+            out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
+                                     jnp.float32)[gidx]
+            az_f, _ = srp.argmax_doa(power, self.srp_plan)
+            out["doa_frame"] = az_f
+
+        elif algo == "track_mvdr":
+            power = srp.srp_surface(spectra, self.pairs, self.srp_plan,
+                                    eps=cfg.algo.phat_eps)
+            pmean = jnp.mean(power, axis=-2)
+            new_tracks, gidx = tracking.track_block(
+                state.tracks, pmean,
+                jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32),
+                self.suppress_bins, cfg.algo.track_smooth)
+            steer = srp.steering_vector(self.srp_plan, gidx)   # [S, C, F]
+            new_cov = cov_mod.update(state.cov, spectra, cfg.algo.cov_forget)
+            w = mvdr.weights(new_cov, steer, cfg.algo.diag_load)  # [S, C, F]
+            y = mvdr.beamform(spectra, w)                  # [S, T, F]
+            out["audio"], new_tail = self._resynth(y, state.ola_tail)
+            out["doa"] = new_tracks.angles_rad
+            out["confidence"] = new_tracks.confidence
+
+        else:
+            raise ValueError(f"unknown algo {algo!r}")
+
+        new_state = PipelineState(carry=new_carry,
+                                  block_idx=state.block_idx + 1,
+                                  ola_tail=new_tail, cov=new_cov,
+                                  tracks=new_tracks)
+        return new_state, out
+
+    def _resynth(self, y: jnp.ndarray, tail: jnp.ndarray):
+        frames = stft_mod.istft_frames(y, self.win_s)      # [..., T, L]
+        return streaming_overlap_add(frames, self.cfg.stft.hop, tail)
+
+    # ------------------------------------------------------------------
+    def run(self, samples: np.ndarray, state: Optional[PipelineState] = None):
+        """Host driver: stream a whole [C, N] signal through process_block.
+
+        Pads the tail to a whole number of blocks (zeros), returns
+        (final_state, outputs) with per-block outputs stacked on a leading
+        axis (host numpy).  The jit dispatch is async, so blocks overlap the
+        host-side slicing naturally.
+        """
+        cfg = self.cfg
+        c, n = samples.shape
+        if c != self.geom.num_mics:
+            raise ValueError(f"expected {self.geom.num_mics} channels, got {c}")
+        b = cfg.block_len
+        nblocks = -(-n // b)
+        padded = np.zeros((c, nblocks * b), np.float32)
+        padded[:, :n] = samples
+        if state is None:
+            state = self.init_state()
+        outs = []
+        for i in range(nblocks):
+            state, out = self.process_block(state, padded[:, i * b:(i + 1) * b])
+            outs.append(out)
+        stacked = {k: np.stack([np.asarray(o[k]) for o in outs])
+                   for k in outs[0]} if outs else {}
+        return state, stacked
+
+
+@functools.lru_cache(maxsize=None)
+def get_pipeline(name: str) -> Pipeline:
+    """Cached pipeline per preset name (reuses compiled steps)."""
+    return Pipeline(cfg_mod.get_config(name))

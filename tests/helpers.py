@@ -1,0 +1,81 @@
+"""Synthetic multichannel test signals (SURVEY.md §4.1 style fixtures).
+
+The reference's gtest suites feed impulses, sines, noise and artificially
+delayed channel copies; these helpers generate the delayed-copy fixtures with
+*fractional* sample delays applied exactly in the frequency domain, so the
+injected TDOA/DOA is known to machine precision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mcax import geometry as geo
+
+
+def fractional_delay(x: np.ndarray, delay_samples: float) -> np.ndarray:
+    """Delay a real signal by a (possibly fractional) number of samples via
+    an exact FFT phase ramp (circular; keep |delay| << len(x))."""
+    n = len(x)
+    spec = np.fft.rfft(x)
+    freqs = np.arange(len(spec))
+    spec = spec * np.exp(-2j * np.pi * freqs * delay_samples / n)
+    return np.fft.irfft(spec, n=n)
+
+
+def array_signals(geom: geo.ArrayGeometry, azimuth_rad: float, n: int,
+                  seed: int = 0, noise_db: float = -40.0,
+                  bandlimit: float = 0.9) -> np.ndarray:
+    """Far-field source at azimuth → per-mic delayed copies. [C, N] float32.
+
+    The source is band-limited white noise (fraction of Nyquist), each mic
+    receives it delayed by  t_c(theta) * fs  samples plus independent sensor
+    noise at noise_db relative to the source.
+    """
+    rng = np.random.default_rng(seed)
+    src = rng.standard_normal(n)
+    spec = np.fft.rfft(src)
+    cut = int(len(spec) * bandlimit)
+    spec[cut:] = 0.0
+    src = np.fft.irfft(spec, n=n)
+    src /= np.std(src) + 1e-12
+
+    delays = geom.mic_delays(np.asarray([azimuth_rad]))[0] * geom.sample_rate
+    out = np.stack([fractional_delay(src, d) for d in delays])
+    noise = rng.standard_normal(out.shape) * (10.0 ** (noise_db / 20.0))
+    return (out + noise).astype(np.float32)
+
+
+def moving_sources(geom: geo.ArrayGeometry, az_start, az_end, n: int,
+                   block_len: int, seed: int = 0,
+                   noise_db: float = -40.0) -> np.ndarray:
+    """K sources moving linearly in azimuth across the signal (piecewise
+    constant per block — delays re-derived each block). [C, N] float32."""
+    rng = np.random.default_rng(seed)
+    az_start = np.atleast_1d(np.asarray(az_start, np.float64))
+    az_end = np.atleast_1d(np.asarray(az_end, np.float64))
+    k = len(az_start)
+    out = np.zeros((geom.num_mics, n))
+    nblocks = n // block_len
+    srcs = rng.standard_normal((k, n))
+    for b in range(nblocks):
+        frac = b / max(nblocks - 1, 1)
+        sl = slice(b * block_len, (b + 1) * block_len)
+        for s in range(k):
+            az = az_start[s] + frac * (az_end[s] - az_start[s])
+            delays = geom.mic_delays(np.asarray([az]))[0] * geom.sample_rate
+            seg = srcs[s, sl]
+            for c, d in enumerate(delays):
+                out[c, sl] += fractional_delay(seg, d)
+    noise = rng.standard_normal(out.shape) * (10.0 ** (noise_db / 20.0))
+    return (out + noise).astype(np.float32)
+
+
+def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
+    """SNR of `test` against `reference` in dB (higher = closer)."""
+    err = np.asarray(reference, np.float64) - np.asarray(test, np.float64)
+    num = np.sum(np.asarray(reference, np.float64) ** 2)
+    den = np.sum(err ** 2)
+    if den == 0:
+        return np.inf
+    return float(10.0 * np.log10(num / max(den, 1e-300)))
