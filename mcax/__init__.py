@@ -22,3 +22,12 @@ Layer map (SURVEY.md §1b):
 from mcax import config as config
 from mcax import geometry as geometry
 from mcax.version import __version__ as __version__
+
+
+def __getattr__(name):
+    # Lazy submodule access (keeps `import mcax` light; jax loads on demand).
+    if name in ("pipeline", "state", "kernels", "frames", "algos", "dist",
+                "io", "utils", "cli"):
+        import importlib
+        return importlib.import_module(f"mcax.{name}")
+    raise AttributeError(f"module 'mcax' has no attribute {name!r}")

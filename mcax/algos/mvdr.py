@@ -21,6 +21,53 @@ import jax.numpy as jnp
 from mcax.algos import covariance as cov_mod
 
 
+def _cholesky_unrolled(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky of tiny SPD matrices by static column unroll.
+
+    a: [..., n, n] float32 SPD → lower-triangular L with a = L L^T.
+
+    n is small (2*C <= 32), so an unrolled column sweep of batch-vectorized
+    VPU ops both compiles fast and runs fast on TPU, whereas the stock
+    ``lax.linalg.cholesky`` lowering stalls this backend's compiler at the
+    shipped batch sizes ([513, 16, 16] never finishes compiling).
+    """
+    n = a.shape[-1]
+    l = jnp.zeros_like(a)
+    for j in range(n):
+        if j:
+            lj = l[..., j, :j]                             # [..., j]
+            diag = a[..., j, j] - jnp.sum(lj * lj, axis=-1)
+            below = (a[..., j + 1:, j]
+                     - jnp.einsum("...ik,...k->...i", l[..., j + 1:, :j], lj))
+        else:
+            diag = a[..., j, j]
+            below = a[..., j + 1:, j]
+        d = jnp.sqrt(jnp.maximum(diag, 1e-30))
+        l = l.at[..., j, j].set(d)
+        if j + 1 < n:
+            l = l.at[..., j + 1:, j].set(below / d[..., None])
+    return l
+
+
+def _solve_triangular_unrolled(l: jnp.ndarray, b: jnp.ndarray,
+                               lower: bool) -> jnp.ndarray:
+    """Solve L y = b (lower) or L^T y = b (upper) by static substitution.
+    l: [..., n, n]; b: [..., n] → y: [..., n]."""
+    n = l.shape[-1]
+    ys = [None] * n
+    order = range(n) if lower else range(n - 1, -1, -1)
+    for i in order:
+        acc = b[..., i]
+        if lower:
+            for k in range(i):
+                acc = acc - l[..., i, k] * ys[k]
+        else:
+            for k in range(i + 1, n):
+                acc = acc - l[..., k, i] * ys[k]
+        ys[i] = acc / l[..., i, i]
+    return jnp.stack(ys, axis=-1)
+
+
 def hermitian_solve(r: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Solve R y = d for Hermitian positive-definite R, batched.
 
@@ -36,12 +83,10 @@ def hermitian_solve(r: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
         jnp.concatenate([rr, -ri], axis=-1),
         jnp.concatenate([ri, rr], axis=-1),
     ], axis=-2)                                            # [..., 2C, 2C]
-    rhs = jnp.concatenate([jnp.real(d), jnp.imag(d)], axis=-1)[..., None]
-    chol = jax.lax.linalg.cholesky(big)
-    y = jax.lax.linalg.triangular_solve(chol, rhs, left_side=True, lower=True)
-    y = jax.lax.linalg.triangular_solve(chol, y, left_side=True, lower=True,
-                                        transpose_a=True)
-    y = y[..., 0]
+    rhs = jnp.concatenate([jnp.real(d), jnp.imag(d)], axis=-1)
+    chol = _cholesky_unrolled(big)
+    y = _solve_triangular_unrolled(chol, rhs, lower=True)
+    y = _solve_triangular_unrolled(chol, y, lower=False)
     return jax.lax.complex(y[..., :c], y[..., c:])
 
 

@@ -1,0 +1,167 @@
+"""CLI runner for the five acceptance configs (components C12/C16).
+
+The TPU-native equivalent of the reference's demo binaries (WAV in → module
+→ callback out):
+
+    python -m mcax.cli.run --config config3 in.wav --doa-out doa.csv
+    python -m mcax.cli.run --config config4 in.wav --wav-out out.wav \
+        --metrics metrics.jsonl --mesh 2x4 --checkpoint ck.npz --resume
+
+Streams fixed-size blocks through the jitted pipeline (single-device or
+sharded over a ('time','channel') mesh), writes the DOA stream as CSV (the
+reference's localisation-callback equivalent), beamformed audio as WAV, and
+per-block metrics as JSONL.  ``--checkpoint``/``--resume`` snapshot the full
+streaming state pytree so an interrupted run resumes bit-identically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import Optional
+
+import numpy as np
+
+from mcax import config as cfg_mod
+from mcax.io import wav as wav_io
+from mcax.utils import checkpoint as ckpt
+from mcax.utils.metrics import BlockTimer, JsonlWriter, log
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mcax.cli.run",
+        description="Run a multichannel acoustic-array pipeline over a WAV.")
+    p.add_argument("input", help="multichannel WAV input")
+    p.add_argument("--config", default="config1",
+                   choices=sorted(cfg_mod.PRESETS),
+                   help="acceptance preset (BASELINE.json)")
+    p.add_argument("--doa-out", default=None, help="DOA stream CSV path")
+    p.add_argument("--wav-out", default=None, help="beamformed audio WAV path")
+    p.add_argument("--metrics", default=None, help="per-block JSONL metrics")
+    p.add_argument("--mesh", default=None, metavar="TxC",
+                   help="shard over a mesh, e.g. 2x4 = 2 time x 4 channel")
+    p.add_argument("--checkpoint", default=None, help="state snapshot path")
+    p.add_argument("--checkpoint-every", type=int, default=50,
+                   metavar="BLOCKS")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
+    p.add_argument("--max-blocks", type=int, default=None)
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def _make_pipeline(cfg, mesh_arg: Optional[str]):
+    if mesh_arg:
+        from mcax.dist import mesh as mesh_mod
+        from mcax.dist.sharded import ShardedPipeline
+        ts, cs = (int(v) for v in mesh_arg.lower().split("x"))
+        return ShardedPipeline(cfg, mesh_mod.make_mesh(ts, cs))
+    from mcax.pipeline import Pipeline
+    return Pipeline(cfg)
+
+
+def _doa_rows(name: str, out, cfg, block: int):
+    """Yield (block, frame_or_source, doa_deg, score) rows per config."""
+    if name == "gcc":
+        doa = np.rad2deg(np.asarray(out["doa"]))[0]          # pair 0, [T]
+        peak = np.asarray(out["peak"])[0]
+        for t in range(doa.shape[0]):
+            yield block, t, float(doa[t]), float(peak[t])
+    elif name == "srp":
+        doa = np.rad2deg(np.asarray(out["doa"]))
+        power = np.asarray(out["power"])
+        for t in range(doa.shape[0]):
+            yield block, t, float(doa[t]), float(power[t])
+    elif name == "srp_mvdr":
+        yield block, -1, float(np.rad2deg(np.asarray(out["doa"]))), 0.0
+    elif name == "track_mvdr":
+        doa = np.rad2deg(np.asarray(out["doa"]))
+        conf = np.asarray(out["confidence"])
+        for s in range(doa.shape[0]):
+            yield block, s, float(doa[s]), float(conf[s])
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO,
+                        format="%(levelname)s mcax: %(message)s")
+    cfg = cfg_mod.get_config(args.config)
+    rate, samples = wav_io.read_wav(args.input)
+    c_need = cfg.array.num_mics
+    if samples.shape[0] != c_need:
+        log.error("config %s needs %d channels, %s has %d",
+                  cfg.name, c_need, args.input, samples.shape[0])
+        return 2
+    if rate != cfg.sample_rate:
+        log.warning("WAV rate %d != config rate %d; samples are treated as "
+                    "%d Hz (no resampling)", rate, cfg.sample_rate,
+                    cfg.sample_rate)
+
+    pipe = _make_pipeline(cfg, args.mesh)
+    state = pipe.init_state()
+    start_block = 0
+    n = samples.shape[1]
+    nblocks = -(-n // cfg.block_len)
+    if args.max_blocks is not None:
+        nblocks = min(nblocks, args.max_blocks)
+
+    if args.resume and args.checkpoint:
+        try:
+            state, cursor, _ = ckpt.load(args.checkpoint, state,
+                                         cfg.config_hash())
+            start_block = cursor // cfg.block_len
+            log.info("resumed from %s at block %d", args.checkpoint,
+                     start_block)
+        except FileNotFoundError:
+            log.info("no checkpoint at %s; starting fresh", args.checkpoint)
+
+    doa_f = open(args.doa_out, "w") if args.doa_out else None
+    if doa_f:
+        doa_f.write("block,frame_or_source,doa_deg,score\n")
+    metrics = JsonlWriter(args.metrics)
+    audio_parts = []
+    algo = cfg.algo.name
+
+    try:
+        for b in range(start_block, nblocks):
+            blk = samples[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+            if blk.shape[1] < cfg.block_len:      # zero-pad final partial block
+                blk = np.pad(blk, ((0, 0), (0, cfg.block_len - blk.shape[1])))
+            with BlockTimer(cfg.sample_rate, cfg.block_len) as bt:
+                state, out = pipe.process_block(state, blk)
+                if "audio" in out:
+                    audio_parts.append(np.asarray(out["audio"]))
+            rec = {"block": b, "latency_s": round(bt.elapsed, 6),
+                   "realtime_factor": round(bt.realtime_factor, 2)}
+            if doa_f:
+                for row in _doa_rows(algo, out, cfg, b):
+                    doa_f.write(",".join(str(v) for v in row) + "\n")
+            if "doa" in out:
+                rec["doa_deg"] = np.round(
+                    np.rad2deg(np.asarray(out["doa"])), 2).tolist()
+            metrics.write(rec)
+            if (args.checkpoint and
+                    (b + 1 - start_block) % args.checkpoint_every == 0):
+                ckpt.save(args.checkpoint, state, cfg.config_hash(),
+                          sample_cursor=(b + 1) * cfg.block_len)
+        if args.checkpoint:
+            ckpt.save(args.checkpoint, state, cfg.config_hash(),
+                      sample_cursor=nblocks * cfg.block_len)
+    finally:
+        if doa_f:
+            doa_f.close()
+        metrics.close()
+
+    if audio_parts and args.wav_out:
+        audio = np.concatenate(audio_parts, axis=-1)
+        wav_io.write_wav(args.wav_out, cfg.sample_rate, audio)
+        log.info("wrote %s (%s samples)", args.wav_out, audio.shape[-1])
+    elif args.wav_out:
+        log.warning("config %s produces no audio output", cfg.name)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

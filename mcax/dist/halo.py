@@ -1,0 +1,92 @@
+"""Overlap-save halo exchange between time shards (C13, SURVEY.md §3.5).
+
+Each time shard's framing needs the last ``frame_len - hop`` samples of its
+left neighbor (the streaming carry for shard 0) — the ring-attention-style
+neighbor exchange of SURVEY.md §2a, realised as a single ``ppermute`` per
+block.  The symmetric synthesis-side exchange sends each shard's overlap-add
+spill *rightward* so hop-aligned output shards stay exact.
+
+These run inside ``shard_map``; the ``axis`` argument names the mesh axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mcax.dist.mesh import TIME_AXIS
+
+
+def _shift_right_perm(n: int):
+    """Permutation sending shard i's payload to shard i+1 (open chain)."""
+    return [(i, i + 1) for i in range(n - 1)]
+
+
+def left_halo(samples_local: jnp.ndarray, halo_len: int,
+              carry_replicated: jnp.ndarray,
+              axis: str = TIME_AXIS) -> jnp.ndarray:
+    """Prepend each time shard's left halo to its local samples.
+
+    Args:
+      samples_local: [..., N_local] this shard's samples.
+      halo_len: frame_len - hop.
+      carry_replicated: [..., halo_len] the streaming carry (previous block's
+        tail), replicated; consumed by shard 0 only.
+    Returns:
+      [..., halo_len + N_local] halo-extended local samples.
+    """
+    n = lax.axis_size(axis)
+    if n == 1:
+        return jnp.concatenate([carry_replicated, samples_local], axis=-1)
+    tail = samples_local[..., -halo_len:]
+    recv = lax.ppermute(tail, axis, _shift_right_perm(n))  # zeros into shard 0
+    idx = lax.axis_index(axis)
+    left = jnp.where(idx == 0, carry_replicated, recv)
+    return jnp.concatenate([left, samples_local], axis=-1)
+
+
+def ola_tail_exchange(full_local: jnp.ndarray, out_len: int,
+                      state_tail: jnp.ndarray,
+                      axis: str = TIME_AXIS):
+    """Cross-shard overlap-add spill exchange (synthesis side).
+
+    Each shard overlap-adds its own frames into ``full_local`` of length
+    ``out_len + spill`` where spill = frame_len - hop; the spill belongs at
+    the head of the *right* neighbor's output region.  Requires
+    spill <= out_len (i.e. frames_per_shard >= frame_len/hop - 1) so the
+    spill never crosses more than one shard — asserted by the caller.
+
+    Args:
+      full_local: [..., out_len + spill] local overlap-add result.
+      out_len: hop-aligned output samples owned by this shard.
+      state_tail: [..., spill] streaming OLA tail from the previous block
+        (replicated; consumed by shard 0).
+    Returns:
+      (out_local [..., out_len], new_tail [..., spill]) — new_tail is the
+      LAST shard's spill, replicated over the axis via psum-masking.
+    """
+    n = lax.axis_size(axis)
+    spill = full_local.shape[-1] - out_len
+    tail_out = full_local[..., out_len:]
+    if n == 1:
+        out = full_local[..., :out_len].at[..., :spill].add(state_tail)
+        return out, tail_out
+    idx = lax.axis_index(axis)
+    recv = lax.ppermute(tail_out, axis, _shift_right_perm(n))
+    incoming = jnp.where(idx == 0, state_tail, recv)
+    out = full_local[..., :out_len].at[..., :spill].add(incoming)
+    # replicate the last shard's spill as the next block's streaming tail
+    new_tail = lax.psum(jnp.where(idx == n - 1, tail_out,
+                                  jnp.zeros_like(tail_out)), axis)
+    return out, new_tail
+
+
+def collect_last(x_local: jnp.ndarray, axis: str = TIME_AXIS) -> jnp.ndarray:
+    """Replicate the last shard's value over the axis (for carry state)."""
+    n = lax.axis_size(axis)
+    if n == 1:
+        return x_local
+    idx = lax.axis_index(axis)
+    return lax.psum(jnp.where(idx == n - 1, x_local, jnp.zeros_like(x_local)),
+                    axis)

@@ -1,0 +1,336 @@
+"""Sharded streaming pipeline over a ('time','channel') mesh (SURVEY.md §3.5).
+
+The distributed block step — the build-only capability the single-process
+reference has no analogue of.  One ``shard_map``-ed function per config runs
+the whole chain with exactly the collectives of SURVEY.md §3.5:
+
+  ppermute   left halo (frame_len - hop samples) from the time neighbor
+  all_gather spectra over 'channel' (cross-shard mic pairs need full C)
+  psum       SRP steered-power pair-partials over 'channel'
+  all_gather covariance (decay, partial) monoid elements over 'time'
+  ppermute   overlap-add spill to the right time neighbor
+
+Sharding layout:
+  samples [C, N]        → P('channel', 'time')     (mics x sample blocks)
+  steering E [P, F, G]  → P('channel', None, None) (pair-parallel, resident)
+  state pytree          → replicated (tiny: carries, tails, R, tracks)
+  audio out [..., M]    → P(..., 'time')           (hop-aligned shards)
+  per-frame DOA [T]     → P('time')
+
+Outputs and state match the single-device ``mcax.pipeline.Pipeline`` to
+float-reassociation tolerance; tests/dist asserts parity on a forced
+8-device CPU mesh for every config (SURVEY.md §4.2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mcax import config as cfg_mod
+from mcax.algos import covariance as cov_mod
+from mcax.algos import delaysum
+from mcax.algos import gcc
+from mcax.algos import masking
+from mcax.algos import mvdr
+from mcax.algos import srp
+from mcax.algos import tracking
+from mcax.dist import halo as halo_mod
+from mcax.dist import scan as dscan
+from mcax.dist.mesh import CHANNEL_AXIS, TIME_AXIS
+from mcax.frames import stft as stft_mod
+from mcax.frames.ola import overlap_add
+from mcax.frames.window import make_windows
+from mcax.kernels import steer as ksteer
+from mcax.pipeline import _COV_ALGOS, _SRP_ALGOS, _SYNTH_ALGOS
+from mcax.state import PipelineState
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions (check_vma vs check_rep kwarg)."""
+    sm = getattr(jax, "shard_map", None)
+    if sm is None:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as sm
+    try:
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=False)
+    except TypeError:  # pragma: no cover - older kwarg name
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
+class ShardedPipeline:
+    """Distributed twin of ``Pipeline``: same config, state and outputs,
+    executed over a ('time', 'channel') mesh."""
+
+    def __init__(self, cfg: cfg_mod.PipelineConfig, mesh: Mesh,
+                 jit: bool = True, donate: bool = True):
+        from mcax.utils import cache as _cache
+        _cache.enable()
+        self.cfg = cfg
+        self.mesh = mesh
+        self.st = mesh.shape[TIME_AXIS]
+        self.sc = mesh.shape[CHANNEL_AXIS]
+        self.geom = cfg.geometry()
+        c = self.geom.num_mics
+        if c % self.sc:
+            raise ValueError(f"{c} mics not divisible by {self.sc} channel shards")
+        t = cfg.frames_per_block
+        if t % self.st:
+            raise ValueError(f"{t} frames/block not divisible by {self.st} time shards")
+        s = cfg.stft
+        spill = s.frame_len - s.hop
+        if spill > (t // self.st) * s.hop:
+            raise ValueError("time shards too fine: OLA spill crosses >1 shard")
+        self.win_a, self.win_s = make_windows(s.frame_len, s.hop, s.synthesis)
+        self.pairs = self.geom.pairs
+        algo = cfg.algo.name
+
+        self.gcc_plan = gcc.make_plan(self.geom, s.frame_len) if algo == "gcc" else None
+        self.srp_plan = (srp.make_plan(self.geom, s.frame_len, cfg.algo.grid_points)
+                         if algo in _SRP_ALGOS else None)
+        self.fixed_steer = (delaysum.steering_vector(
+            self.geom, cfg.algo.steer_azimuth_rad, s.frame_len)
+            if algo in ("delaysum", "mvdr") else None)
+        self.mask_phase = (masking.expected_phase(
+            self.geom, cfg.algo.steer_azimuth_rad, s.frame_len)
+            if algo == "mask" else None)
+        if algo in _SRP_ALGOS:
+            deg_per_bin = 360.0 / cfg.algo.grid_points
+            self.suppress_bins = max(1, int(round(
+                cfg.algo.peak_suppression_deg / deg_per_bin)))
+            self._prep_pair_sharded_steering()
+
+        self._build_step(jit, donate)
+
+    # ------------------------------------------------------------------
+    def _prep_pair_sharded_steering(self):
+        """Pad pairs/steering matrices so the pair axis splits over the
+        'channel' mesh axis; padded pairs get zero steering → zero power."""
+        plan = self.srp_plan
+        p = self.pairs.shape[0]
+        f = self.cfg.stft.num_bins
+        g = plan.e_re.shape[-1]
+        p_pad = -(-p // self.sc) * self.sc
+        pairs_pad = np.zeros((p_pad, 2), np.int32)
+        pairs_pad[:p] = self.pairs
+        e_re = np.zeros((p_pad, f, g), np.float32)
+        e_im = np.zeros((p_pad, f, g), np.float32)
+        e_re[:p] = plan.e_re.reshape(p, f, g)
+        e_im[:p] = plan.e_im.reshape(p, f, g)
+        sh_pair = NamedSharding(self.mesh, P(CHANNEL_AXIS, None, None))
+        self._pairs_pad = jax.device_put(
+            pairs_pad, NamedSharding(self.mesh, P(CHANNEL_AXIS, None)))
+        self._e_re = jax.device_put(e_re, sh_pair)
+        self._e_im = jax.device_put(e_im, sh_pair)
+
+    # ------------------------------------------------------------------
+    def _build_step(self, jit: bool, donate: bool):
+        cfg = self.cfg
+        algo = cfg.algo.name
+        state_spec = jax.tree_util.tree_map(lambda _: P(), self._state_struct())
+
+        out_spec: Dict[str, P] = {}
+        if algo == "gcc":
+            out_spec = {"tdoa": P(None, TIME_AXIS), "doa": P(None, TIME_AXIS),
+                        "peak": P(None, TIME_AXIS)}
+        elif algo == "srp":
+            out_spec = {"doa": P(TIME_AXIS), "power": P(TIME_AXIS)}
+        elif algo in ("delaysum", "mask", "mvdr"):
+            out_spec = {"audio": P(TIME_AXIS)}
+        elif algo == "srp_mvdr":
+            out_spec = {"audio": P(TIME_AXIS), "doa": P(),
+                        "doa_frame": P(TIME_AXIS)}
+        elif algo == "track_mvdr":
+            out_spec = {"audio": P(None, TIME_AXIS), "doa": P(),
+                        "confidence": P()}
+
+        in_specs = [state_spec, P(CHANNEL_AXIS, TIME_AXIS)]
+        extra = ()
+        if algo in _SRP_ALGOS:
+            in_specs += [P(CHANNEL_AXIS, None), P(CHANNEL_AXIS, None, None),
+                         P(CHANNEL_AXIS, None, None)]
+            extra = (self._pairs_pad, self._e_re, self._e_im)
+        self._extra = extra
+
+        step = _shard_map(self._local_step, self.mesh,
+                          in_specs=tuple(in_specs),
+                          out_specs=(state_spec, out_spec))
+        if jit:
+            step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        self._step = step
+
+    def _state_struct(self) -> PipelineState:
+        """Pytree structure prototype (for building replicated PartitionSpecs)."""
+        return self.init_state()
+
+    # ------------------------------------------------------------------
+    @property
+    def frames_per_block(self) -> int:
+        return self.cfg.frames_per_block
+
+    def init_state(self) -> PipelineState:
+        cfg = self.cfg
+        c = self.geom.num_mics
+        lh = cfg.stft.frame_len - cfg.stft.hop
+        algo = cfg.algo.name
+        ola_tail = None
+        if algo in _SYNTH_ALGOS:
+            shape = ((cfg.algo.num_sources, lh) if algo == "track_mvdr"
+                     else (lh,))
+            ola_tail = jnp.zeros(shape, jnp.float32)
+        cov = (cov_mod.init(cfg.stft.num_bins, c)
+               if algo in _COV_ALGOS else None)
+        tracks = (tracking.init_tracks(cfg.algo.num_sources)
+                  if algo == "track_mvdr" else None)
+        return PipelineState(carry=jnp.zeros((c, lh), jnp.float32),
+                             block_idx=jnp.zeros((), jnp.int32),
+                             ola_tail=ola_tail, cov=cov, tracks=tracks)
+
+    def process_block(self, state: PipelineState, samples) -> Tuple[
+            PipelineState, Dict[str, jnp.ndarray]]:
+        samples = jnp.asarray(samples, jnp.float32)
+        if samples.shape != (self.geom.num_mics, self.cfg.block_len):
+            raise ValueError(
+                f"expected samples [{self.geom.num_mics}, {self.cfg.block_len}]"
+                f", got {samples.shape}")
+        return self._step(state, samples, *self._extra)
+
+    # ------------------------------------------------------------------
+    # The per-device body (runs under shard_map).
+    # ------------------------------------------------------------------
+    def _local_step(self, state: PipelineState, samples_local, *extra):
+        cfg = self.cfg
+        hop = cfg.stft.hop
+        lh = cfg.stft.frame_len - hop
+        c = self.geom.num_mics
+        cl = c // self.sc
+        ci = lax.axis_index(CHANNEL_AXIS)
+
+        # ---- halo-extended local samples → local frames -> spectra ----
+        carry_local = lax.dynamic_slice(state.carry, (ci * cl, 0), (cl, lh))
+        x_local = halo_mod.left_halo(samples_local, lh, carry_local)
+        t_local = cfg.frames_per_block // self.st
+        new_carry_local = x_local[:, t_local * hop:]
+        new_carry = self._replicate_carry(new_carry_local)
+
+        spectra_local = stft_mod.stft(x_local, self.win_a, hop)  # [Cl, Tl, F]
+        spectra = self._gather_channels(spectra_local)           # [C, Tl, F]
+
+        algo = cfg.algo.name
+        out: Dict[str, jnp.ndarray] = {}
+        new_tail, new_cov, new_tracks = state.ola_tail, state.cov, state.tracks
+
+        if algo == "gcc":
+            res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
+                                     eps=cfg.algo.phat_eps,
+                                     interpolate=cfg.algo.interpolate)
+            out = {"tdoa": res["tdoa"], "doa": res["doa"], "peak": res["peak"]}
+
+        elif algo == "delaysum":
+            y = delaysum.beamform(spectra, jnp.asarray(self.fixed_steer))
+            out["audio"], new_tail = self._resynth(y, state.ola_tail)
+
+        elif algo == "mask":
+            y = masking.mask_block(spectra, jnp.asarray(self.mask_phase),
+                                   cfg.algo.mask_threshold_rad,
+                                   cfg.algo.mask_sharpness)
+            out["audio"], new_tail = self._resynth(y, state.ola_tail)
+
+        elif algo == "srp":
+            power = self._srp_power(spectra, extra)              # [Tl, G]
+            az, pk = srp.argmax_doa(power, self.srp_plan)
+            out = {"doa": az, "power": pk}
+
+        elif algo == "mvdr":
+            new_cov = self._cov_update(state.cov, spectra)
+            w = mvdr.weights(new_cov, jnp.asarray(self.fixed_steer),
+                             cfg.algo.diag_load)
+            out["audio"], new_tail = self._resynth(
+                mvdr.beamform(spectra, w), state.ola_tail)
+
+        elif algo == "srp_mvdr":
+            power = self._srp_power(spectra, extra)
+            pmean = dscan.psum_mean(power, TIME_AXIS)            # [G]
+            gidx = jnp.argmax(pmean, axis=-1)
+            steer_v = srp.steering_vector(self.srp_plan, gidx)
+            new_cov = self._cov_update(state.cov, spectra)
+            w = mvdr.weights(new_cov, steer_v, cfg.algo.diag_load)
+            out["audio"], new_tail = self._resynth(
+                mvdr.beamform(spectra, w), state.ola_tail)
+            out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
+                                     jnp.float32)[gidx]
+            out["doa_frame"], _ = srp.argmax_doa(power, self.srp_plan)
+
+        elif algo == "track_mvdr":
+            power = self._srp_power(spectra, extra)
+            pmean = dscan.psum_mean(power, TIME_AXIS)
+            new_tracks, gidx = tracking.track_block(
+                state.tracks, pmean,
+                jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32),
+                self.suppress_bins, cfg.algo.track_smooth)
+            steer_v = srp.steering_vector(self.srp_plan, gidx)   # [S, C, F]
+            new_cov = self._cov_update(state.cov, spectra)
+            w = mvdr.weights(new_cov, steer_v, cfg.algo.diag_load)
+            out["audio"], new_tail = self._resynth(
+                mvdr.beamform(spectra, w), state.ola_tail)
+            out["doa"] = new_tracks.angles_rad
+            out["confidence"] = new_tracks.confidence
+
+        else:
+            raise ValueError(f"unknown algo {algo!r}")
+
+        new_state = PipelineState(carry=new_carry,
+                                  block_idx=state.block_idx + 1,
+                                  ola_tail=new_tail, cov=new_cov,
+                                  tracks=new_tracks)
+        return new_state, out
+
+    # ---- collective helpers -------------------------------------------
+    def _replicate_carry(self, carry_local):
+        last = halo_mod.collect_last(carry_local, TIME_AXIS)
+        if self.sc == 1:
+            return last
+        return lax.all_gather(last, CHANNEL_AXIS, axis=0, tiled=True)
+
+    def _gather_channels(self, spectra_local):
+        if self.sc == 1:
+            return spectra_local
+        return lax.all_gather(spectra_local, CHANNEL_AXIS, axis=0, tiled=True)
+
+    def _srp_power(self, spectra, extra):
+        """Pair-sharded steered power: each channel shard handles its slice
+        of mic pairs, partial powers psum over 'channel' (SURVEY.md §3.5)."""
+        pairs_local, e_re_local, e_im_local = extra
+        gp = _cps_phat_dyn(spectra, pairs_local, self.cfg.algo.phat_eps)
+        pl_, f, grid = e_re_local.shape
+        partial = ksteer.srp_power(gp, e_re_local.reshape(pl_ * f, grid),
+                                   e_im_local.reshape(pl_ * f, grid))
+        return lax.psum(partial, CHANNEL_AXIS)
+
+    def _cov_update(self, cov, spectra):
+        decay, partial = cov_mod.block_stats(spectra, self.cfg.algo.cov_forget)
+        decay, partial = dscan.combine_cov_partials(decay, partial, TIME_AXIS)
+        return cov * decay.astype(cov.dtype) + partial
+
+    def _resynth(self, y, tail):
+        hop = self.cfg.stft.hop
+        frames = stft_mod.istft_frames(y, self.win_s)            # [..., Tl, L]
+        full = overlap_add(frames, hop)
+        t_local = frames.shape[-2]
+        return halo_mod.ola_tail_exchange(full, t_local * hop, tail)
+
+
+def _cps_phat_dyn(spectra: jnp.ndarray, pairs: jnp.ndarray,
+                  eps: float) -> jnp.ndarray:
+    """cps_phat with a *traced* pair-index array (the per-device pair slice
+    arrives as a shard_map operand, not a host constant)."""
+    a = jnp.take(spectra, pairs[:, 0], axis=-3)
+    b = jnp.take(spectra, pairs[:, 1], axis=-3)
+    g = a * jnp.conj(b)
+    return g / (jnp.abs(g) + jnp.asarray(eps, jnp.float32))

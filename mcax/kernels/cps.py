@@ -15,11 +15,56 @@ PHAT epsilon is a parity knob (SURVEY.md §7.4): configurable, default 1e-12.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcax.kernels import dispatch
 
 DEFAULT_PHAT_EPS = 1e-12
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _cps_phat_kernel(eps, ar_ref, ai_ref, br_ref, bi_ref, gr_ref, gi_ref):
+    """Fused complex multiply-conjugate + PHAT normalise, one VPU pass."""
+    ar, ai = ar_ref[...], ai_ref[...]
+    br, bi = br_ref[...], bi_ref[...]
+    gr = ar * br + ai * bi
+    gi = ai * br - ar * bi
+    w = 1.0 / (jnp.sqrt(gr * gr + gi * gi) + np.float32(eps))
+    gr_ref[...] = gr * w
+    gi_ref[...] = gi * w
+
+
+def _cps_phat_pallas(ar, ai, br, bi, eps: float):
+    """[B, F] float32 planes -> PHAT-weighted CPS planes. Padded to lanes."""
+    b, f = ar.shape
+    f_pad = _round_up(f, _LANE)
+    tb = min(_round_up(b, _SUBLANE), 1024)
+    b_pad = _round_up(b, tb)
+    def pad(x):
+        return jnp.pad(x, ((0, b_pad - b), (0, f_pad - f)))
+    spec = pl.BlockSpec((tb, f_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    gr, gi = pl.pallas_call(
+        functools.partial(_cps_phat_kernel, float(eps)),
+        grid=(b_pad // tb,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((b_pad, f_pad), jnp.float32)] * 2,
+        interpret=dispatch.interpret_mode(),
+    )(pad(ar), pad(ai), pad(br), pad(bi))
+    return gr[:b, :f], gi[:b, :f]
 
 
 def cross_power(spectra: jnp.ndarray, pairs: np.ndarray) -> jnp.ndarray:
@@ -50,7 +95,20 @@ def cps_phat(spectra: jnp.ndarray, pairs: np.ndarray,
     """Fused pair cross-power spectrum with optional PHAT weighting.
 
     The single entry point used by GCC (SURVEY.md §3.2) and SRP (§3.3).
+    On the Pallas backend the complex multiply + magnitude + reciprocal run
+    as one fused VPU kernel over the gathered pair planes.
     """
+    if weighted and dispatch.use_pallas():
+        i = jnp.asarray(pairs[:, 0])
+        j = jnp.asarray(pairs[:, 1])
+        xi = jnp.take(spectra, i, axis=-3)
+        xj = jnp.take(spectra, j, axis=-3)
+        *lead, p, t, f = xi.shape
+        b = int(np.prod([*lead, p, t])) if (lead or p or t) else 1
+        gr, gi = _cps_phat_pallas(
+            jnp.real(xi).reshape(b, f), jnp.imag(xi).reshape(b, f),
+            jnp.real(xj).reshape(b, f), jnp.imag(xj).reshape(b, f), eps)
+        return jax.lax.complex(gr, gi).reshape(*lead, p, t, f)
     g = cross_power(spectra, pairs)
     return phat_weight(g, eps) if weighted else g
 

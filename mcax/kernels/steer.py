@@ -15,10 +15,77 @@ subtraction with K-dimension accumulation so E streams through VMEM once.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from mcax import geometry as geo
+from mcax.kernels import dispatch
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _steer_kernel(gr_ref, gi_ref, er_ref, ei_ref, out_ref):
+    """One (B, G) output tile: accumulate the fused dual matmul over K tiles
+    (K = pair*bin).  The steering matrices stream through VMEM once per
+    (i, j) tile column; the subtraction fuses into the MXU epilogue."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+    out_ref[...] += (
+        jnp.dot(gr_ref[...], er_ref[...], preferred_element_type=jnp.float32)
+        - jnp.dot(gi_ref[...], ei_ref[...], preferred_element_type=jnp.float32)
+    )
+
+
+def _srp_power_pallas(gr: jnp.ndarray, gi: jnp.ndarray,
+                      e_re: jnp.ndarray, e_im: jnp.ndarray) -> jnp.ndarray:
+    """gr/gi [B, K] @ e [K, G] -> power [B, G], tiled with K-accumulation."""
+    b, k = gr.shape
+    g = e_re.shape[1]
+    tb = min(_round_up(b, _SUBLANE), 256)
+    tg = min(_round_up(g, _LANE), 512)
+    tk = min(_round_up(k, _LANE), 2048)
+    b_pad, g_pad, k_pad = _round_up(b, tb), _round_up(g, tg), _round_up(k, tk)
+    gr = jnp.pad(gr, ((0, b_pad - b), (0, k_pad - k)))
+    gi = jnp.pad(gi, ((0, b_pad - b), (0, k_pad - k)))
+    e_re = jnp.pad(e_re, ((0, k_pad - k), (0, g_pad - g)))
+    e_im = jnp.pad(e_im, ((0, k_pad - k), (0, g_pad - g)))
+    grid = (b_pad // tb, g_pad // tg, k_pad // tk)
+    out = pl.pallas_call(
+        _steer_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tg), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tg), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tg), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, g_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * k_pad * g_pad,
+            bytes_accessed=4 * (2 * b_pad * k_pad + 2 * k_pad * g_pad
+                                + b_pad * g_pad),
+            transcendentals=0,
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(gr, gi, e_re, e_im)
+    return out[:b, :g]
 
 
 def steering_matrices(geom: geo.ArrayGeometry, azimuths_rad: np.ndarray,
@@ -57,4 +124,9 @@ def srp_power(g_phat: jnp.ndarray, e_re: jnp.ndarray,
     gi = jnp.moveaxis(gi, -2, -3).reshape(*lead, t, p * f)
     er = jnp.asarray(e_re)
     ei = jnp.asarray(e_im)
+    if dispatch.use_pallas():
+        b = int(np.prod([*lead, t])) if (lead or t) else 1
+        out = _srp_power_pallas(gr.reshape(b, p * f), gi.reshape(b, p * f),
+                                er, ei)
+        return out.reshape(*lead, t, er.shape[-1])
     return gr @ er - gi @ ei

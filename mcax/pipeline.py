@@ -48,6 +48,8 @@ class Pipeline:
 
     def __init__(self, cfg: cfg_mod.PipelineConfig, jit: bool = True,
                  donate: bool = True):
+        from mcax.utils import cache as _cache
+        _cache.enable()
         self.cfg = cfg
         self.geom = cfg.geometry()
         self.pairs = self.geom.pairs
@@ -109,7 +111,13 @@ class Pipeline:
 
     def process_block(self, state: PipelineState, samples) -> Tuple[
             PipelineState, Dict[str, jnp.ndarray]]:
-        return self._step(state, jnp.asarray(samples, jnp.float32))
+        samples = jnp.asarray(samples, jnp.float32)
+        expect = (self.geom.num_mics, self.cfg.block_len)
+        if samples.shape != expect:
+            raise ValueError(f"expected samples {list(expect)}, got "
+                             f"{list(samples.shape)} (mis-sized blocks would "
+                             "silently retrace and shift the stream)")
+        return self._step(state, samples)
 
     # ------------------------------------------------------------------
     def _block_step(self, state: PipelineState, samples: jnp.ndarray):

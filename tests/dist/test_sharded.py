@@ -1,0 +1,117 @@
+"""Sharded-vs-single-device parity on the forced 8-device CPU mesh
+(SURVEY.md §4.2.3): every collective path — time halo, channel all-gather,
+pair psum, covariance monoid combine, OLA spill exchange — must reproduce
+the single-device pipeline to float-reassociation tolerance, for every
+config and several mesh factorizations."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from mcax import config as cfg_mod
+from mcax.dist import mesh as mesh_mod
+from mcax.dist.sharded import ShardedPipeline
+from mcax.pipeline import Pipeline
+from tests import helpers
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def _run(pipe, x, nblocks, block_len):
+    state = pipe.init_state()
+    outs = []
+    for b in range(nblocks):
+        state, out = pipe.process_block(state, x[:, b * block_len:(b + 1) * block_len])
+        outs.append(jax.tree_util.tree_map(np.asarray, out))
+    return state, outs
+
+
+def _assert_close(ref_outs, got_outs, keys, atol):
+    for r, g in zip(ref_outs, got_outs):
+        assert set(r) == set(g)
+        for k in keys:
+            np.testing.assert_allclose(g[k], r[k], rtol=3e-5, atol=atol,
+                                       err_msg=k)
+
+
+def _signal_for(cfg, nblocks, seed=0):
+    g = cfg.geometry()
+    if cfg.algo.name == "track_mvdr":
+        return helpers.moving_sources(
+            g, [np.deg2rad(-60.0), np.deg2rad(50.0)],
+            [np.deg2rad(-30.0), np.deg2rad(80.0)],
+            cfg.block_len * nblocks, cfg.block_len, seed=seed)
+    return helpers.array_signals(g, np.deg2rad(37.0),
+                                 cfg.block_len * nblocks, seed=seed)
+
+
+CASES = [
+    # (config, time_shards, channel_shards, out keys to compare, atol)
+    ("config1", 4, 2, ["tdoa", "peak"], 1e-5),
+    ("config1", 8, 1, ["tdoa", "peak"], 1e-5),
+    ("config2", 4, 2, ["audio"], 1e-5),
+    ("config3", 2, 4, ["doa", "power"], 2e-4),
+    ("config3", 4, 2, ["doa", "power"], 2e-4),
+    ("config4", 2, 4, ["audio", "doa"], 1e-4),
+    ("config5", 2, 4, ["audio", "doa", "confidence"], 5e-4),
+]
+
+
+@pytest.mark.parametrize("name,ts,cs,keys,atol", CASES)
+def test_sharded_matches_single_device(name, ts, cs, keys, atol):
+    cfg = cfg_mod.get_config(name)
+    nblocks = 3
+    x = _signal_for(cfg, nblocks)
+    ref_state, ref_outs = _run(Pipeline(cfg, donate=False), x, nblocks,
+                               cfg.block_len)
+    mesh = mesh_mod.make_mesh(ts, cs)
+    sp = ShardedPipeline(cfg, mesh, donate=False)
+    got_state, got_outs = _run(sp, x, nblocks, cfg.block_len)
+    _assert_close(ref_outs, got_outs, keys, atol)
+    np.testing.assert_allclose(np.asarray(got_state.carry),
+                               np.asarray(ref_state.carry), atol=1e-6)
+    if ref_state.ola_tail is not None:
+        np.testing.assert_allclose(np.asarray(got_state.ola_tail),
+                                   np.asarray(ref_state.ola_tail), atol=atol)
+    if ref_state.cov is not None:
+        np.testing.assert_allclose(np.asarray(got_state.cov),
+                                   np.asarray(ref_state.cov), rtol=3e-5,
+                                   atol=atol)
+
+
+def test_srp_doa_correct_on_mesh():
+    """End-to-end: the sharded SRP grid still finds the injected source."""
+    cfg = cfg_mod.get_config("config3")
+    g = cfg.geometry()
+    x = helpers.array_signals(g, np.deg2rad(-120.0), cfg.block_len * 2, seed=4)
+    mesh = mesh_mod.make_mesh(4, 2)
+    sp = ShardedPipeline(cfg, mesh)
+    st = sp.init_state()
+    for b in range(2):
+        st, out = sp.process_block(st, x[:, b * cfg.block_len:(b + 1) * cfg.block_len])
+    est = np.rad2deg(np.median(np.asarray(out["doa"])))
+    assert abs(est - (-120.0)) < 2.0, est
+
+
+def test_mesh_validation():
+    cfg = cfg_mod.get_config("config3")          # 8 mics
+    mesh = mesh_mod.make_mesh(1, 8)
+    ShardedPipeline(cfg, mesh)                   # 8 % 8 == 0: ok
+    cfg2 = cfg_mod.get_config("config1")         # 2 mics
+    with pytest.raises(ValueError):
+        ShardedPipeline(cfg2, mesh_mod.make_mesh(2, 4))
+
+    with pytest.raises(ValueError):              # wrong block shape
+        sp = ShardedPipeline(cfg, mesh_mod.make_mesh(2, 2))
+        sp.process_block(sp.init_state(),
+                         np.zeros((8, cfg.block_len + 1), np.float32))
+
+
+def test_auto_factor():
+    assert mesh_mod.auto_factor(8, 8) == (2, 4)
+    assert mesh_mod.auto_factor(8, 2) == (8, 1)
+    assert mesh_mod.auto_factor(4, 16) == (1, 4)
+    assert mesh_mod.auto_factor(1, 8) == (1, 1)

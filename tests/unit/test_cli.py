@@ -1,0 +1,95 @@
+"""CLI runner + parity tool end-to-end (components C12/C15/C16)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mcax import config as cfg_mod
+from mcax.cli import run as cli_run
+from mcax.io.wav import read_wav, write_wav
+from tests import helpers
+
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "tools"))
+import parity as parity_tool  # noqa: E402
+
+
+def _wav_for(name, tmp, az_deg=40.0, nblocks=3, seed=0):
+    cfg = cfg_mod.get_config(name)
+    g = cfg.geometry()
+    x = helpers.array_signals(g, np.deg2rad(az_deg), cfg.block_len * nblocks,
+                              seed=seed)
+    path = os.path.join(tmp, f"{name}.wav")
+    write_wav(path, cfg.sample_rate, x)
+    return path, cfg
+
+
+def test_cli_gcc_writes_doa_csv(tmp_path):
+    path, cfg = _wav_for("config1", str(tmp_path), az_deg=60.0)
+    doa = os.path.join(tmp_path, "doa.csv")
+    metrics = os.path.join(tmp_path, "m.jsonl")
+    rc = cli_run.main([path, "--config", "config1", "--doa-out", doa,
+                       "--metrics", metrics])
+    assert rc == 0
+    rows = open(doa).read().strip().splitlines()
+    assert rows[0] == "block,frame_or_source,doa_deg,score"
+    assert len(rows) > cfg.frames_per_block          # per-frame rows
+    assert os.path.getsize(metrics) > 0
+
+
+def test_cli_delaysum_writes_wav(tmp_path):
+    path, cfg = _wav_for("config2", str(tmp_path))
+    out = os.path.join(tmp_path, "out.wav")
+    rc = cli_run.main([path, "--config", "config2", "--wav-out", out])
+    assert rc == 0
+    rate, audio = read_wav(out)
+    assert rate == cfg.sample_rate
+    assert audio.shape[-1] == cfg.block_len * 3
+
+
+def test_cli_channel_mismatch_errors(tmp_path):
+    path, _ = _wav_for("config1", str(tmp_path))    # 2-channel wav
+    rc = cli_run.main([path, "--config", "config3"])  # needs 8
+    assert rc == 2
+
+
+def test_cli_checkpoint_roundtrip(tmp_path):
+    path, cfg = _wav_for("config1", str(tmp_path))
+    ck = os.path.join(tmp_path, "ck.npz")
+    rc = cli_run.main([path, "--config", "config1", "--checkpoint", ck,
+                       "--checkpoint-every", "1", "--max-blocks", "2"])
+    assert rc == 0 and os.path.exists(ck)
+    # resume completes the remaining block without error
+    rc = cli_run.main([path, "--config", "config1", "--checkpoint", ck,
+                       "--resume"])
+    assert rc == 0
+
+
+def test_parity_tool_pass_and_fail(tmp_path):
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1, 8000)).astype(np.float32) * 0.3
+    pa = os.path.join(tmp_path, "a.wav")
+    pb = os.path.join(tmp_path, "b.wav")
+    pc = os.path.join(tmp_path, "c.wav")
+    write_wav(pa, 16000, a, dtype=np.float32)
+    write_wav(pb, 16000, a + 1e-4 * rng.standard_normal(a.shape).astype(np.float32),
+              dtype=np.float32)
+    write_wav(pc, 16000, rng.standard_normal(a.shape).astype(np.float32) * 0.3,
+              dtype=np.float32)
+    assert parity_tool.main(["--wav", pa, pb, "--snr-db", "40"]) == 0
+    assert parity_tool.main(["--wav", pa, pc, "--snr-db", "40"]) == 1
+
+
+def test_parity_tool_doa(tmp_path):
+    pa = os.path.join(tmp_path, "a.csv")
+    pb = os.path.join(tmp_path, "b.csv")
+    hdr = "block,frame_or_source,doa_deg,score\n"
+    with open(pa, "w") as f:
+        f.write(hdr + "0,0,10.0,1\n0,1,-179.0,1\n")
+    with open(pb, "w") as f:
+        f.write(hdr + "0,0,11.0,1\n0,1,179.0,1\n")   # wraps: 2 deg apart
+    assert parity_tool.doa_error_deg(pa, pb) == pytest.approx(1.5)
+    assert parity_tool.main(["--doa", pa, pb, "--max-deg", "2"]) == 0

@@ -1,0 +1,63 @@
+"""Pallas CPS+PHAT and steering-matmul kernels vs jnp, interpret mode
+(SURVEY.md §4.2.5: interpret=True on CPU, then on-device vs jnp)."""
+
+import numpy as np
+import pytest
+
+from mcax import geometry as geo
+from mcax.kernels import cps as kcps
+from mcax.kernels import steer as ksteer
+
+
+@pytest.fixture(autouse=True)
+def pallas_interpret(monkeypatch):
+    monkeypatch.setenv("MCAX_BACKEND", "pallas")
+    monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
+
+
+def _spec(c=8, t=6, f=257, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((c, t, f))
+            + 1j * rng.standard_normal((c, t, f))).astype(np.complex64)
+
+
+def test_cps_phat_pallas_matches_jnp(monkeypatch):
+    g = geo.ArrayGeometry(positions=geo.circular_positions(8, 0.05),
+                          sample_rate=16000)
+    spec = _spec()
+    got = np.asarray(kcps.cps_phat(spec, g.pairs))
+    monkeypatch.setenv("MCAX_BACKEND", "xla")
+    want = np.asarray(kcps.cps_phat(spec, g.pairs))
+    assert got.shape == want.shape == (28, 6, 257)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    # PHAT output is unit-modulus (up to eps)
+    np.testing.assert_allclose(np.abs(got), 1.0, atol=1e-4)
+
+
+def test_srp_power_pallas_matches_jnp(monkeypatch):
+    g = geo.ArrayGeometry(positions=geo.circular_positions(8, 0.05),
+                          sample_rate=16000)
+    az = geo.azimuth_grid(360)
+    e_re, e_im = ksteer.steering_matrices(g, az, 512)
+    rng = np.random.default_rng(1)
+    p, f = 28, 257
+    gph = (rng.standard_normal((p, 6, f))
+           + 1j * rng.standard_normal((p, 6, f))).astype(np.complex64)
+    got = np.asarray(ksteer.srp_power(gph, e_re, e_im))
+    monkeypatch.setenv("MCAX_BACKEND", "xla")
+    want = np.asarray(ksteer.srp_power(gph, e_re, e_im))
+    assert got.shape == want.shape == (6, 360)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_srp_power_pallas_ragged_sizes(monkeypatch):
+    """Non-lane-aligned K and G still pad/slice correctly."""
+    rng = np.random.default_rng(2)
+    b, k, g = 5, 300, 90
+    gr = rng.standard_normal((b, k)).astype(np.float32)
+    gi = rng.standard_normal((b, k)).astype(np.float32)
+    er = rng.standard_normal((k, g)).astype(np.float32)
+    ei = rng.standard_normal((k, g)).astype(np.float32)
+    got = np.asarray(ksteer._srp_power_pallas(gr, gi, er, ei))
+    want = gr @ er - gi @ ei
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
