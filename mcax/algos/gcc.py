@@ -35,9 +35,11 @@ class GccPlan:
     pair_distance: np.ndarray    # [P] float32 metres
     sample_rate: float
     speed_of_sound: float
+    band_mask: np.ndarray = None   # [F] float32 bin weights (sub-band), or None
 
 
-def make_plan(geom: geo.ArrayGeometry, n_fft: int) -> GccPlan:
+def make_plan(geom: geo.ArrayGeometry, n_fft: int,
+              band_hz=None) -> GccPlan:
     per_pair = geom.max_lag_samples()                      # [P]
     max_lag = int(min(int(per_pair.max()), n_fft // 2 - 2))
     # gather one extra lag each side so a peak at +-max_lag (endfire) still
@@ -55,7 +57,18 @@ def make_plan(geom: geo.ArrayGeometry, n_fft: int) -> GccPlan:
         pair_distance=geom.pair_distances().astype(np.float32),
         sample_rate=float(geom.sample_rate),
         speed_of_sound=float(geom.speed_of_sound),
+        band_mask=(None if band_hz is None else
+                   _band_mask(n_fft, geom.sample_rate, band_hz)),
     )
+
+
+def _band_mask(n_fft: int, sample_rate: float, band_hz) -> np.ndarray:
+    """[F] float32 weights restricting the cross-correlation to a frequency
+    band (the dspone SubBandSTFT analogue for the 2-mic path)."""
+    f = n_fft // 2 + 1
+    freqs = sample_rate * np.arange(f) / n_fft
+    lo, hi = band_hz
+    return ((freqs >= lo) & (freqs <= hi)).astype(np.float32)
 
 
 def cross_correlation(g_phat: jnp.ndarray, plan: GccPlan) -> jnp.ndarray:
@@ -123,5 +136,7 @@ def gcc_phat_block(spectra: jnp.ndarray, pairs: np.ndarray, plan: GccPlan,
       dict with tdoa [..., P, T] (s), doa [..., P, T] (rad), peak [..., P, T].
     """
     g = kcps.cps_phat(spectra, pairs, eps=eps)
+    if plan.band_mask is not None:
+        g = g * jnp.asarray(plan.band_mask, g.dtype)
     tau, peak = tdoa(g, plan, interpolate=interpolate)
     return {"tdoa": tau, "doa": doa_from_tdoa(tau, plan), "peak": peak}

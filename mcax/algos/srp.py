@@ -31,11 +31,29 @@ class SrpPlan:
     steer_im: np.ndarray           # [G, C, F] (sin); v = e^{-j omega t_c}
 
 
+def band_bins(n_fft: int, sample_rate: float, band_hz) -> np.ndarray:
+    """Boolean bin mask [F] for a (lo, hi) Hz band; all-True when None.
+    The sub-band restriction of dspone's SubBandSTFT, as a static mask."""
+    f = n_fft // 2 + 1
+    if band_hz is None:
+        return np.ones(f, bool)
+    freqs = sample_rate * np.arange(f) / n_fft
+    lo, hi = band_hz
+    return (freqs >= lo) & (freqs <= hi)
+
+
 def make_plan(geom: geo.ArrayGeometry, n_fft: int,
-              grid_points: int = 360) -> SrpPlan:
+              grid_points: int = 360, band_hz=None) -> SrpPlan:
     az = geo.azimuth_grid(grid_points)
     e_re, e_im = ksteer.steering_matrices(geom, az, n_fft)
     f = n_fft // 2 + 1
+    if band_hz is not None:
+        # zero steering rows outside the band: those bins contribute no power
+        mask = band_bins(n_fft, geom.sample_rate, band_hz)
+        p = geom.num_pairs
+        keep = np.tile(mask, p).astype(np.float32)[:, None]   # [P*F, 1]
+        e_re = e_re * keep
+        e_im = e_im * keep
     omega = 2.0 * np.pi * geom.sample_rate * np.arange(f) / n_fft
     t = geom.mic_delays(az)                                # [G, C] seconds
     phase = -omega[None, None, :] * t[:, :, None]          # [G, C, F]

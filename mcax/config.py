@@ -65,6 +65,9 @@ class AlgoConfig:
     name: str = "gcc"                 # gcc|delaysum|srp|mvdr|srp_mvdr|track_mvdr|mask
     phat_eps: float = 1e-12
     interpolate: bool = True          # parabolic fractional-lag peak
+    # Sub-band processing (dspone SubBandSTFT analogue): restrict GCC/SRP to
+    # a frequency band [lo, hi] Hz; None = full band.
+    band_hz: Optional[Tuple[float, float]] = None
     # SRP grid
     grid_points: int = 360
     # Fixed steering (delay-sum / MVDR without localisation), radians

@@ -1,0 +1,62 @@
+"""Multi-host (DCN) initialisation for pod-slice runs (SURVEY.md §5
+"distributed communication backend": ICI intra-slice + DCN inter-host).
+
+One call per process on every host of the slice:
+
+    from mcax.dist import multihost
+    multihost.initialize()                    # env-driven (TPU pods)
+    mesh = multihost.pod_mesh(time_shards=-1, channel_shards=4)
+
+After initialize(), ``jax.devices()`` spans the whole slice and the same
+ShardedPipeline code runs unchanged — XLA routes 'channel' collectives over
+ICI and cross-host 'time' halos over DCN.  On a single host this module is
+a no-op, so pipelines are host-count agnostic.
+
+The 2-host >=80%-scaling acceptance run (BASELINE.md) uses exactly this
+path; it cannot be exercised in a 1-chip sandbox, so its test is the
+N-virtual-device parity suite plus dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from mcax.dist import mesh as mesh_mod
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize with TPU-pod env autodetection.
+
+    No-ops when the process group is already initialized or when running
+    single-process (num_processes == 1 and no coordinator configured).
+    """
+    if jax.process_count() > 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError):
+        # single-process / no coordinator env: stay local
+        pass
+
+
+def pod_mesh(time_shards: int = -1, channel_shards: int = 1):
+    """Build the ('time','channel') mesh over every device in the slice.
+
+    time_shards = -1 → use all remaining devices on the time axis.  The
+    device order from jax.devices() keeps same-host devices adjacent, so the
+    innermost 'channel' axis stays on-host/ICI and only the outer 'time'
+    axis crosses DCN — halo ppermute is the one cross-host edge per block.
+    """
+    n = len(jax.devices())
+    if time_shards == -1:
+        if n % channel_shards:
+            raise ValueError(f"{n} devices not divisible by "
+                             f"{channel_shards} channel shards")
+        time_shards = n // channel_shards
+    return mesh_mod.make_mesh(time_shards, channel_shards)

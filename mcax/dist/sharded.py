@@ -91,8 +91,12 @@ class ShardedPipeline:
         self.pairs = self.geom.pairs
         algo = cfg.algo.name
 
-        self.gcc_plan = gcc.make_plan(self.geom, s.frame_len) if algo == "gcc" else None
-        self.srp_plan = (srp.make_plan(self.geom, s.frame_len, cfg.algo.grid_points)
+        self.gcc_plan = (gcc.make_plan(self.geom, s.frame_len,
+                                       band_hz=cfg.algo.band_hz)
+                         if algo == "gcc" else None)
+        self.srp_plan = (srp.make_plan(self.geom, s.frame_len,
+                                       cfg.algo.grid_points,
+                                       band_hz=cfg.algo.band_hz)
                          if algo in _SRP_ALGOS else None)
         self.fixed_steer = (delaysum.steering_vector(
             self.geom, cfg.algo.steer_azimuth_rad, s.frame_len)

@@ -57,10 +57,12 @@ class Pipeline:
         self.win_a, self.win_s = make_windows(s.frame_len, s.hop, s.synthesis)
         algo = cfg.algo.name
 
-        self.gcc_plan = (gcc.make_plan(self.geom, s.frame_len)
+        self.gcc_plan = (gcc.make_plan(self.geom, s.frame_len,
+                                       band_hz=cfg.algo.band_hz)
                          if algo == "gcc" else None)
         self.srp_plan = (srp.make_plan(self.geom, s.frame_len,
-                                       cfg.algo.grid_points)
+                                       cfg.algo.grid_points,
+                                       band_hz=cfg.algo.band_hz)
                          if algo in _SRP_ALGOS else None)
         self.fixed_steer = (delaysum.steering_vector(
             self.geom, cfg.algo.steer_azimuth_rad, s.frame_len)

@@ -6,6 +6,11 @@ jax.profiler.trace so the block loop can be inspected in TensorBoard/Perfetto.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import jax
