@@ -26,24 +26,22 @@ def main() -> None:
     cfg = get_config("config4")
     pipe = Pipeline(cfg)
     rng = np.random.default_rng(0)
-    nbuf = 8
-    blocks = [jax.device_put(rng.standard_normal(
-        (pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
-        for _ in range(nbuf)]
+    batch = 32                               # blocks per dispatch (lax.scan)
+    blocks = jax.device_put(rng.standard_normal(
+        (batch, pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
 
     state = pipe.init_state()
-    for b in range(3):                       # compile + warmup
-        state, out = pipe.process_block(state, blocks[b % nbuf])
+    state, out = pipe.process_blocks(state, blocks)    # compile + warmup
     jax.block_until_ready(out)
 
-    iters = 100
+    iters = 8
     t0 = time.perf_counter()
-    for b in range(iters):
-        state, out = pipe.process_block(state, blocks[b % nbuf])
+    for _ in range(iters):
+        state, out = pipe.process_blocks(state, blocks)
     jax.block_until_ready((state, out))
     dt = time.perf_counter() - t0
 
-    samples_per_s = iters * cfg.block_len / dt
+    samples_per_s = iters * batch * cfg.block_len / dt
     baseline = 10.0 * cfg.sample_rate       # 10x real-time target
     print(json.dumps({
         "metric": "samples_per_s_per_chip_8mic_srp_phat_mvdr_48k",

@@ -127,15 +127,16 @@ def doa_from_tdoa(tdoa_s: jnp.ndarray, plan: GccPlan) -> jnp.ndarray:
 
 def gcc_phat_block(spectra: jnp.ndarray, pairs: np.ndarray, plan: GccPlan,
                    eps: float = kcps.DEFAULT_PHAT_EPS,
-                   interpolate: bool = True):
-    """Full GCC-PHAT chain for one block of spectra (SURVEY.md §3.2).
+                   interpolate: bool = True, weighting: str = "phat"):
+    """Full GCC chain for one block of spectra (SURVEY.md §3.2).
 
     Args:
       spectra: complex64 [..., C, T, F].
+      weighting: phat|scot|roth|cc (kernels.cps.cps_weighted).
     Returns:
       dict with tdoa [..., P, T] (s), doa [..., P, T] (rad), peak [..., P, T].
     """
-    g = kcps.cps_phat(spectra, pairs, eps=eps)
+    g = kcps.cps_weighted(spectra, pairs, weighting=weighting, eps=eps)
     if plan.band_mask is not None:
         g = g * jnp.asarray(plan.band_mask, g.dtype)
     tau, peak = tdoa(g, plan, interpolate=interpolate)

@@ -70,11 +70,26 @@ def srp_surface(spectra: jnp.ndarray, pairs: np.ndarray, plan: SrpPlan,
     return ksteer.srp_power(g, plan.e_re, plan.e_im)
 
 
-def argmax_doa(power: jnp.ndarray, plan: SrpPlan):
-    """(azimuth_rad, power_at_peak) from a power surface [..., G]."""
+def argmax_doa(power: jnp.ndarray, plan: SrpPlan, interpolate: bool = False):
+    """(azimuth_rad, power_at_peak) from a power surface [..., G].
+
+    With ``interpolate`` a circular 3-point parabolic fit refines the DOA to
+    sub-grid resolution (the SRP analogue of GCC's fractional-lag peak)."""
+    g = power.shape[-1]
     k = jnp.argmax(power, axis=-1)
     az = jnp.asarray(plan.azimuths_rad, jnp.float32)[k]
     pk = jnp.take_along_axis(power, k[..., None], axis=-1)[..., 0]
+    if interpolate:
+        km1 = (k - 1) % g
+        kp1 = (k + 1) % g
+        ym1 = jnp.take_along_axis(power, km1[..., None], axis=-1)[..., 0]
+        yp1 = jnp.take_along_axis(power, kp1[..., None], axis=-1)[..., 0]
+        denom = ym1 - 2.0 * pk + yp1
+        delta = jnp.where(jnp.abs(denom) > 1e-12,
+                          0.5 * (ym1 - yp1) / denom, 0.0)
+        delta = jnp.clip(delta, -0.5, 0.5)
+        step = jnp.float32(plan.azimuths_rad[1] - plan.azimuths_rad[0])
+        az = az + delta * step
     return az, pk
 
 

@@ -88,11 +88,12 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO,
                         format="%(levelname)s mcax: %(message)s")
     cfg = cfg_mod.get_config(args.config)
-    rate, samples = wav_io.read_wav(args.input)
+    from mcax.io import stream as stream_mod
+    rate, total_frames, channels = wav_io.wav_info(args.input)
     c_need = cfg.array.num_mics
-    if samples.shape[0] != c_need:
+    if channels != c_need:
         log.error("config %s needs %d channels, %s has %d",
-                  cfg.name, c_need, args.input, samples.shape[0])
+                  cfg.name, c_need, args.input, channels)
         return 2
     if rate != cfg.sample_rate:
         log.warning("WAV rate %d != config rate %d; samples are treated as "
@@ -102,8 +103,7 @@ def main(argv=None) -> int:
     pipe = _make_pipeline(cfg, args.mesh)
     state = pipe.init_state()
     start_block = 0
-    n = samples.shape[1]
-    nblocks = -(-n // cfg.block_len)
+    nblocks = -(-total_frames // cfg.block_len)
     if args.max_blocks is not None:
         nblocks = min(nblocks, args.max_blocks)
 
@@ -124,11 +124,16 @@ def main(argv=None) -> int:
     audio_parts = []
     algo = cfg.algo.name
 
+    # double-buffered streaming feeder: the native (or scipy-fallback) reader
+    # runs on a producer thread so disk I/O overlaps device compute
+    blocks = stream_mod.prefetched(
+        stream_mod.block_iterator(args.input, cfg.block_len, c_need))
     try:
-        for b in range(start_block, nblocks):
-            blk = samples[:, b * cfg.block_len:(b + 1) * cfg.block_len]
-            if blk.shape[1] < cfg.block_len:      # zero-pad final partial block
-                blk = np.pad(blk, ((0, 0), (0, cfg.block_len - blk.shape[1])))
+        for b, blk in enumerate(blocks):
+            if b >= nblocks:
+                break
+            if b < start_block:                   # resume: skip finished blocks
+                continue
             with BlockTimer(cfg.sample_rate, cfg.block_len) as bt:
                 state, out = pipe.process_block(state, blk)
                 if "audio" in out:

@@ -64,15 +64,17 @@ class StftConfig:
 class AlgoConfig:
     name: str = "gcc"                 # gcc|delaysum|srp|mvdr|srp_mvdr|track_mvdr|mask
     phat_eps: float = 1e-12
+    gcc_weighting: str = "phat"       # phat|scot|roth|cc (Knapp-Carter family)
     interpolate: bool = True          # parabolic fractional-lag peak
+    srp_interpolate: bool = False     # parabolic sub-grid DOA refinement
     # Sub-band processing (dspone SubBandSTFT analogue): restrict GCC/SRP to
     # a frequency band [lo, hi] Hz; None = full band.
     band_hz: Optional[Tuple[float, float]] = None
     # SRP grid
     grid_points: int = 360
-    # Fixed steering (delay-sum / MVDR without localisation), radians
+    # Fixed steering (delay-sum / MVDR without localisation), radians.
+    # SRP-steered variants are algo names: srp_delaysum / srp_mvdr.
     steer_azimuth_rad: float = 0.0
-    steer_from_srp: bool = False      # steer toward per-block SRP argmax
     # Covariance recursion (C8) / MVDR (C9)
     cov_forget: float = 0.95          # lambda
     diag_load: float = 1e-3           # delta (times tr(R)/C)

@@ -147,6 +147,8 @@ class ShardedPipeline:
             out_spec = {"doa": P(TIME_AXIS), "power": P(TIME_AXIS)}
         elif algo in ("delaysum", "mask", "mvdr"):
             out_spec = {"audio": P(TIME_AXIS)}
+        elif algo == "srp_delaysum":
+            out_spec = {"audio": P(TIME_AXIS), "doa": P()}
         elif algo == "srp_mvdr":
             out_spec = {"audio": P(TIME_AXIS), "doa": P(),
                         "doa_frame": P(TIME_AXIS)}
@@ -233,12 +235,23 @@ class ShardedPipeline:
         if algo == "gcc":
             res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
                                      eps=cfg.algo.phat_eps,
-                                     interpolate=cfg.algo.interpolate)
+                                     interpolate=cfg.algo.interpolate,
+                                     weighting=cfg.algo.gcc_weighting)
             out = {"tdoa": res["tdoa"], "doa": res["doa"], "peak": res["peak"]}
 
         elif algo == "delaysum":
             y = delaysum.beamform(spectra, jnp.asarray(self.fixed_steer))
             out["audio"], new_tail = self._resynth(y, state.ola_tail)
+
+        elif algo == "srp_delaysum":
+            power = self._srp_power(spectra, extra)
+            pmean = dscan.psum_mean(power, TIME_AXIS)
+            gidx = jnp.argmax(pmean, axis=-1)
+            steer_v = srp.steering_vector(self.srp_plan, gidx)
+            y = delaysum.beamform(spectra, steer_v)
+            out["audio"], new_tail = self._resynth(y, state.ola_tail)
+            out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
+                                     jnp.float32)[gidx]
 
         elif algo == "mask":
             y = masking.mask_block(spectra, jnp.asarray(self.mask_phase),
@@ -248,7 +261,8 @@ class ShardedPipeline:
 
         elif algo == "srp":
             power = self._srp_power(spectra, extra)              # [Tl, G]
-            az, pk = srp.argmax_doa(power, self.srp_plan)
+            az, pk = srp.argmax_doa(power, self.srp_plan,
+                                    interpolate=cfg.algo.srp_interpolate)
             out = {"doa": az, "power": pk}
 
         elif algo == "mvdr":
@@ -269,7 +283,9 @@ class ShardedPipeline:
                 mvdr.beamform(spectra, w), state.ola_tail)
             out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
                                      jnp.float32)[gidx]
-            out["doa_frame"], _ = srp.argmax_doa(power, self.srp_plan)
+            out["doa_frame"], _ = srp.argmax_doa(
+                power, self.srp_plan,
+                interpolate=cfg.algo.srp_interpolate)
 
         elif algo == "track_mvdr":
             power = self._srp_power(spectra, extra)

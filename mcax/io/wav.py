@@ -18,6 +18,20 @@ _INT_SCALE = {np.dtype(np.int16): 32768.0,
               np.dtype(np.uint8): 128.0}
 
 
+def wav_info(path: str) -> Tuple[int, int, int]:
+    """(sample_rate, num_frames, channels) without reading the payload.
+    Uses the native header parser when built; falls back to a full read."""
+    from mcax.io import native as nat
+    if nat.available():
+        r = nat.NativeWavReader(path, 1)
+        try:
+            return r.sample_rate, r.num_frames, r.channels
+        finally:
+            r.close()
+    rate, data = read_wav(path)
+    return rate, data.shape[1], data.shape[0]
+
+
 def read_wav(path: str) -> Tuple[int, np.ndarray]:
     """Read a WAV file → (sample_rate, float32 samples [C, N] in [-1, 1])."""
     rate, data = wavfile.read(path)

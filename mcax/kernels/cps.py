@@ -113,6 +113,37 @@ def cps_phat(spectra: jnp.ndarray, pairs: np.ndarray,
     return phat_weight(g, eps) if weighted else g
 
 
+def cps_weighted(spectra: jnp.ndarray, pairs: np.ndarray,
+                 weighting: str = "phat",
+                 eps: float = DEFAULT_PHAT_EPS) -> jnp.ndarray:
+    """Generalised cross-correlation weightings (Knapp & Carter family).
+
+    The reference's GCC module exposes PHAT; the framework carries the full
+    classic set as a parity/experimentation knob (PAPERS.md GCC literature):
+
+      phat  G / |G|                 (phase transform — the default)
+      scot  G / sqrt(S_ii S_jj)     (smoothed coherence transform)
+      roth  G / S_ii                (Roth impulse-response weighting)
+      cc    G                       (plain cross-correlation)
+    """
+    if weighting == "phat":
+        return cps_phat(spectra, pairs, eps=eps)
+    g = cross_power(spectra, pairs)
+    if weighting == "cc":
+        return g
+    i = jnp.asarray(pairs[:, 0])
+    j = jnp.asarray(pairs[:, 1])
+    auto = jnp.real(spectra * jnp.conj(spectra))           # [..., C, T, F]
+    s_ii = jnp.take(auto, i, axis=-3)
+    if weighting == "roth":
+        return g / (s_ii + jnp.asarray(eps, s_ii.dtype))
+    if weighting == "scot":
+        s_jj = jnp.take(auto, j, axis=-3)
+        return g / (jnp.sqrt(s_ii * s_jj) + jnp.asarray(eps, s_ii.dtype))
+    raise ValueError(f"unknown GCC weighting {weighting!r}; "
+                     "have phat|scot|roth|cc")
+
+
 def cps_phat_planes(spec_re: jnp.ndarray, spec_im: jnp.ndarray,
                     pairs: np.ndarray, eps: float = DEFAULT_PHAT_EPS):
     """Real/imag-plane variant used inside Pallas pipelines (no complex dtype

@@ -87,14 +87,20 @@ def _inv_matrices(n: int, f_pad: int):
 
 def _rdft_kernel(x_ref, wr_ref, wi_ref, yr_ref, yi_ref):
     x = x_ref[...]
-    yr_ref[...] = jnp.dot(x, wr_ref[...], preferred_element_type=jnp.float32)
-    yi_ref[...] = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32)
+    prec = jax.lax.Precision.HIGHEST   # true fp32 on the MXU (see _PREC)
+    yr_ref[...] = jnp.dot(x, wr_ref[...], preferred_element_type=jnp.float32,
+                          precision=prec)
+    yi_ref[...] = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32,
+                          precision=prec)
 
 
 def _irdft_kernel(yr_ref, yi_ref, ar_ref, ai_ref, x_ref):
+    prec = jax.lax.Precision.HIGHEST
     x_ref[...] = (
-        jnp.dot(yr_ref[...], ar_ref[...], preferred_element_type=jnp.float32)
-        + jnp.dot(yi_ref[...], ai_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(yr_ref[...], ar_ref[...], preferred_element_type=jnp.float32,
+                precision=prec)
+        + jnp.dot(yi_ref[...], ai_ref[...], preferred_element_type=jnp.float32,
+                  precision=prec)
     )
 
 
@@ -179,16 +185,23 @@ def _irdft_pallas(yr2d: jnp.ndarray, yi2d: jnp.ndarray, n: int):
 # jnp matmul form (oracle for the Pallas kernels; portable fallback)
 # ---------------------------------------------------------------------------
 
+_PREC = jax.lax.Precision.HIGHEST     # keep the DFT in true fp32 on the MXU
+                                      # (TPU matmuls default to bf16 passes,
+                                      # which would cost ~40 dB of FFT SNR)
+
+
 def rfft_matmul(x: jnp.ndarray) -> jnp.ndarray:
     n = x.shape[-1]
     wr, wi = _fwd_matrices(n, n // 2 + 1)
     x = x.astype(jnp.float32)
-    return jax.lax.complex(x @ wr, x @ wi)
+    return jax.lax.complex(jnp.dot(x, wr, precision=_PREC),
+                           jnp.dot(x, wi, precision=_PREC))
 
 
 def irfft_matmul(y: jnp.ndarray, n: int) -> jnp.ndarray:
     ar, ai = _inv_matrices(n, y.shape[-1])
-    return jnp.real(y).astype(jnp.float32) @ ar + jnp.imag(y).astype(jnp.float32) @ ai
+    return (jnp.dot(jnp.real(y).astype(jnp.float32), ar, precision=_PREC)
+            + jnp.dot(jnp.imag(y).astype(jnp.float32), ai, precision=_PREC))
 
 
 # ---------------------------------------------------------------------------

@@ -38,9 +38,10 @@ from mcax.frames.ola import streaming_overlap_add
 from mcax.frames.window import make_windows
 from mcax.state import PipelineState
 
-_SYNTH_ALGOS = ("delaysum", "mvdr", "srp_mvdr", "track_mvdr", "mask")
+_SYNTH_ALGOS = ("delaysum", "srp_delaysum", "mvdr", "srp_mvdr", "track_mvdr",
+                "mask")
 _COV_ALGOS = ("mvdr", "srp_mvdr", "track_mvdr")
-_SRP_ALGOS = ("srp", "srp_mvdr", "track_mvdr")
+_SRP_ALGOS = ("srp", "srp_delaysum", "srp_mvdr", "track_mvdr")
 
 
 class Pipeline:
@@ -78,6 +79,10 @@ class Pipeline:
         if jit:
             step = jax.jit(step, donate_argnums=(0,) if donate else ())
         self._step = step
+        many = self._blocks_scan
+        if jit:
+            many = jax.jit(many, donate_argnums=(0,) if donate else ())
+        self._many = many
 
     # ------------------------------------------------------------------
     @property
@@ -121,6 +126,28 @@ class Pipeline:
                              "silently retrace and shift the stream)")
         return self._step(state, samples)
 
+    def process_blocks(self, state: PipelineState, samples) -> Tuple[
+            PipelineState, Dict[str, jnp.ndarray]]:
+        """Throughput mode: run B sequential blocks in ONE dispatch.
+
+        Args:
+          samples: [B, C, block_len] — B consecutive blocks.
+        Returns:
+          (state, outs) where each out leaf gains a leading B axis.  Bit-
+          identical to B process_block calls (lax.scan carries the same
+          state recursion); amortises the per-dispatch host overhead, which
+          dominates at these block sizes (PERF.md).
+        """
+        samples = jnp.asarray(samples, jnp.float32)
+        expect = (self.geom.num_mics, self.cfg.block_len)
+        if samples.ndim != 3 or samples.shape[1:] != expect:
+            raise ValueError(f"expected samples [B, {expect[0]}, {expect[1]}]"
+                             f", got {list(samples.shape)}")
+        return self._many(state, samples)
+
+    def _blocks_scan(self, state: PipelineState, samples: jnp.ndarray):
+        return jax.lax.scan(self._block_step, state, samples)
+
     # ------------------------------------------------------------------
     def _block_step(self, state: PipelineState, samples: jnp.ndarray):
         cfg = self.cfg
@@ -137,13 +164,26 @@ class Pipeline:
         if algo == "gcc":
             res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
                                      eps=cfg.algo.phat_eps,
-                                     interpolate=cfg.algo.interpolate)
+                                     interpolate=cfg.algo.interpolate,
+                                     weighting=cfg.algo.gcc_weighting)
             out = {"tdoa": res["tdoa"], "doa": res["doa"], "peak": res["peak"]}
 
         elif algo == "delaysum":
             steer = jnp.asarray(self.fixed_steer)
             y = delaysum.beamform(spectra, steer)          # [T, F]
             out["audio"], new_tail = self._resynth(y, state.ola_tail)
+
+        elif algo == "srp_delaysum":
+            # SRP-steered delay-sum: the reference's "beamform toward the
+            # localised DOA" composition (C7 'SRP-steered', SURVEY.md §2a)
+            power = srp.srp_surface(spectra, self.pairs, self.srp_plan,
+                                    eps=cfg.algo.phat_eps)
+            gidx = jnp.argmax(jnp.mean(power, axis=-2), axis=-1)
+            steer = srp.steering_vector(self.srp_plan, gidx)   # [C, F]
+            y = delaysum.beamform(spectra, steer)
+            out["audio"], new_tail = self._resynth(y, state.ola_tail)
+            out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
+                                     jnp.float32)[gidx]
 
         elif algo == "mask":
             y = masking.mask_block(spectra, jnp.asarray(self.mask_phase),
@@ -154,7 +194,8 @@ class Pipeline:
         elif algo == "srp":
             power = srp.srp_surface(spectra, self.pairs, self.srp_plan,
                                     eps=cfg.algo.phat_eps)   # [T, G]
-            az, pk = srp.argmax_doa(power, self.srp_plan)
+            az, pk = srp.argmax_doa(power, self.srp_plan,
+                                    interpolate=cfg.algo.srp_interpolate)
             out = {"doa": az, "power": pk}
 
         elif algo == "mvdr":
@@ -176,7 +217,8 @@ class Pipeline:
             out["audio"], new_tail = self._resynth(y, state.ola_tail)
             out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
                                      jnp.float32)[gidx]
-            az_f, _ = srp.argmax_doa(power, self.srp_plan)
+            az_f, _ = srp.argmax_doa(power, self.srp_plan,
+                                     interpolate=cfg.algo.srp_interpolate)
             out["doa_frame"] = az_f
 
         elif algo == "track_mvdr":

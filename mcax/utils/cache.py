@@ -29,4 +29,6 @@ def enable() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:       # config name drift across jax versions
         return
+    if os.environ.get("MCAX_DEBUG_NANS") == "1":   # numerics guard (SURVEY §5)
+        jax.config.update("jax_debug_nans", True)
     _enabled = True

@@ -121,3 +121,45 @@ def test_mask_pipeline_attenuates_off_target():
     e_on = sum(float((o["audio"] ** 2).sum()) for o in o_on)
     e_off = sum(float((o["audio"] ** 2).sum()) for o in o_off)
     assert e_on > 4.0 * e_off, (e_on, e_off)
+
+
+def test_srp_delaysum_steers_to_source():
+    """SRP-steered delay-sum (C7 'SRP-steered'): localises then beamforms."""
+    base = cfg_mod.get_config("config3")
+    cfg = dataclasses.replace(
+        base,
+        stft=dataclasses.replace(base.stft, synthesis=True),
+        algo=dataclasses.replace(base.algo, name="srp_delaysum"))
+    g = cfg.geometry()
+    x = helpers.array_signals(g, np.deg2rad(75.0), cfg.block_len * 2, seed=11)
+    pipe = Pipeline(cfg, donate=False)
+    st = pipe.init_state()
+    for b in range(2):
+        st, out = pipe.process_block(st, x[:, b * cfg.block_len:(b + 1) * cfg.block_len])
+    assert abs(np.rad2deg(float(out["doa"])) - 75.0) < 2.0
+    assert np.isfinite(np.asarray(out["audio"])).all()
+
+
+def test_srp_delaysum_sharded_parity():
+    import jax as _jax
+    if len(_jax.devices()) < 4:
+        return
+    from mcax.dist import mesh as mesh_mod
+    from mcax.dist.sharded import ShardedPipeline
+    base = cfg_mod.get_config("config3")
+    cfg = dataclasses.replace(
+        base,
+        stft=dataclasses.replace(base.stft, synthesis=True),
+        algo=dataclasses.replace(base.algo, name="srp_delaysum"))
+    g = cfg.geometry()
+    x = helpers.array_signals(g, np.deg2rad(-15.0), cfg.block_len * 2, seed=12)
+    ref = Pipeline(cfg, donate=False)
+    sp = ShardedPipeline(cfg, mesh_mod.make_mesh(2, 2), donate=False)
+    s1, s2 = ref.init_state(), sp.init_state()
+    for b in range(2):
+        blk = x[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+        s1, o1 = ref.process_block(s1, blk)
+        s2, o2 = sp.process_block(s2, blk)
+    np.testing.assert_allclose(np.asarray(o2["audio"]), np.asarray(o1["audio"]),
+                               rtol=3e-5, atol=1e-4)
+    np.testing.assert_allclose(float(o2["doa"]), float(o1["doa"]), atol=1e-6)
