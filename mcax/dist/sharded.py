@@ -164,12 +164,22 @@ class ShardedPipeline:
             extra = (self._pairs_pad, self._e_re, self._e_im)
         self._extra = extra
 
-        step = _shard_map(self._local_step, self.mesh,
-                          in_specs=tuple(in_specs),
-                          out_specs=(state_spec, out_spec))
+        sm_step = _shard_map(self._local_step, self.mesh,
+                             in_specs=tuple(in_specs),
+                             out_specs=(state_spec, out_spec))
+        step = sm_step
         if jit:
             step = jax.jit(step, donate_argnums=(0,) if donate else ())
         self._step = step
+
+        def blocks_scan(state, samples_blocks):
+            return jax.lax.scan(
+                lambda c, x: sm_step(c, x, *self._extra), state,
+                samples_blocks)
+        many = blocks_scan
+        if jit:
+            many = jax.jit(many, donate_argnums=(0,) if donate else ())
+        self._many = many
 
     def _state_struct(self) -> PipelineState:
         """Pytree structure prototype (for building replicated PartitionSpecs)."""
@@ -206,6 +216,17 @@ class ShardedPipeline:
                 f"expected samples [{self.geom.num_mics}, {self.cfg.block_len}]"
                 f", got {samples.shape}")
         return self._step(state, samples, *self._extra)
+
+    def process_blocks(self, state: PipelineState, samples) -> Tuple[
+            PipelineState, Dict[str, jnp.ndarray]]:
+        """Throughput mode: B sequential blocks in one dispatch (lax.scan
+        over the shard_map step); matches B process_block calls."""
+        samples = jnp.asarray(samples, jnp.float32)
+        expect = (self.geom.num_mics, self.cfg.block_len)
+        if samples.ndim != 3 or samples.shape[1:] != expect:
+            raise ValueError(f"expected samples [B, {expect[0]}, {expect[1]}]"
+                             f", got {list(samples.shape)}")
+        return self._many(state, samples)
 
     # ------------------------------------------------------------------
     # The per-device body (runs under shard_map).

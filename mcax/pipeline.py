@@ -83,6 +83,8 @@ class Pipeline:
         if jit:
             many = jax.jit(many, donate_argnums=(0,) if donate else ())
         self._many = many
+        self._jit = jit
+        self._vstep = None            # built lazily by process_streams
 
     # ------------------------------------------------------------------
     @property
@@ -147,6 +149,33 @@ class Pipeline:
 
     def _blocks_scan(self, state: PipelineState, samples: jnp.ndarray):
         return jax.lax.scan(self._block_step, state, samples)
+
+    # ------------------------------------------------------------------
+    # Data-parallel multi-stream mode (SURVEY.md §2a C14 "DP"): S
+    # independent arrays/utterances batched through one vmapped step —
+    # the serving shape (many streams per chip), not available in the
+    # reference's one-object-per-stream C++ design.
+    # ------------------------------------------------------------------
+    def init_states(self, num_streams: int) -> PipelineState:
+        one = self.init_state()
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (num_streams, *x.shape)).copy(),
+            one)
+
+    def process_streams(self, states: PipelineState, samples) -> Tuple[
+            PipelineState, Dict[str, jnp.ndarray]]:
+        """One block for S independent streams: samples [S, C, block_len],
+        states from init_states(S).  Every output leaf gains a leading S
+        axis.  Identical per-stream math to process_block (vmap)."""
+        samples = jnp.asarray(samples, jnp.float32)
+        expect = (self.geom.num_mics, self.cfg.block_len)
+        if samples.ndim != 3 or samples.shape[1:] != expect:
+            raise ValueError(f"expected samples [S, {expect[0]}, {expect[1]}]"
+                             f", got {list(samples.shape)}")
+        if self._vstep is None:
+            vstep = jax.vmap(self._block_step)
+            self._vstep = jax.jit(vstep) if self._jit else vstep
+        return self._vstep(states, samples)
 
     # ------------------------------------------------------------------
     def _block_step(self, state: PipelineState, samples: jnp.ndarray):

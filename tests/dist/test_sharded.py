@@ -115,3 +115,22 @@ def test_auto_factor():
     assert mesh_mod.auto_factor(8, 2) == (8, 1)
     assert mesh_mod.auto_factor(4, 16) == (1, 4)
     assert mesh_mod.auto_factor(1, 8) == (1, 1)
+
+
+def test_sharded_scan_mode_matches_loop():
+    cfg = cfg_mod.get_config("config3")
+    g = cfg.geometry()
+    nb = 2
+    x = helpers.array_signals(g, np.deg2rad(65.0), cfg.block_len * nb, seed=9)
+    blocks = x.reshape(g.num_mics, nb, cfg.block_len).transpose(1, 0, 2)
+    sp = ShardedPipeline(cfg, mesh_mod.make_mesh(2, 2), donate=False)
+    st = sp.init_state()
+    loop = []
+    for b in range(nb):
+        st, out = sp.process_block(st, blocks[b])
+        loop.append(np.asarray(out["doa"]))
+    st2 = sp.init_state()
+    st2, outs = sp.process_blocks(st2, blocks)
+    for b in range(nb):
+        np.testing.assert_allclose(np.asarray(outs["doa"])[b], loop[b],
+                                   atol=1e-6)

@@ -42,3 +42,32 @@ def test_scan_shape_validation():
     with pytest.raises(ValueError, match="expected samples"):
         pipe.process_blocks(pipe.init_state(),
                             np.zeros((2, cfg.block_len), np.float32))
+
+
+def test_streams_match_independent_runs():
+    """vmap multi-stream (DP) equals running each stream separately."""
+    cfg = cfg_mod.get_config("config3")
+    g = cfg.geometry()
+    s = 3
+    xs = np.stack([helpers.array_signals(g, np.deg2rad(a), cfg.block_len,
+                                         seed=i)
+                   for i, a in enumerate([-50.0, 10.0, 120.0])])
+    pipe = Pipeline(cfg, donate=False)
+    states = pipe.init_states(s)
+    states, outs = pipe.process_streams(states, xs)
+    assert np.asarray(outs["doa"]).shape[0] == s
+    for i, a in enumerate([-50.0, 10.0, 120.0]):
+        st1 = pipe.init_state()
+        _, o1 = pipe.process_block(st1, xs[i])
+        np.testing.assert_allclose(np.asarray(outs["doa"])[i],
+                                   np.asarray(o1["doa"]), atol=1e-6)
+        est = np.rad2deg(np.median(np.asarray(outs["doa"])[i]))
+        assert abs((est - a + 180.0) % 360.0 - 180.0) < 2.0
+
+
+def test_streams_shape_validation():
+    cfg = cfg_mod.get_config("config1")
+    pipe = Pipeline(cfg)
+    with pytest.raises(ValueError, match="expected samples"):
+        pipe.process_streams(pipe.init_states(2),
+                             np.zeros((2, cfg.block_len), np.float32))
