@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import logging
 import sys
+import time
 from typing import Optional
 
 import numpy as np
@@ -48,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint if it exists")
     p.add_argument("--max-blocks", type=int, default=None)
+    p.add_argument("--throttle", type=float, default=0.0, metavar="SECONDS",
+                   help="sleep after each block (simulate a real-time feed)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -151,6 +154,8 @@ def main(argv=None) -> int:
                     (b + 1 - start_block) % args.checkpoint_every == 0):
                 ckpt.save(args.checkpoint, state, cfg.config_hash(),
                           sample_cursor=(b + 1) * cfg.block_len)
+            if args.throttle > 0:
+                time.sleep(args.throttle)
         if args.checkpoint:
             ckpt.save(args.checkpoint, state, cfg.config_hash(),
                       sample_cursor=nblocks * cfg.block_len)

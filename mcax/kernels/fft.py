@@ -104,13 +104,28 @@ def _irdft_kernel(yr_ref, yi_ref, ar_ref, ai_ref, x_ref):
     )
 
 
-def _pick_tiles(b: int, k: int, n_out: int, vmem_budget=12 * 2 ** 20):
-    """Choose (TB, TN) tiles: weights 2*K*TN + io TB*(K+2*TN) floats in VMEM."""
-    tb = min(_round_up(b, _SUBLANE), 512)
-    tn = n_out
-    while 4 * (2 * k * tn + tb * (k + 2 * tn)) > vmem_budget and tn > _LANE:
-        tn //= 2
-    return tb, tn
+def _pick_tiles(b: int, k: int, n_out: int, vmem_budget=14 * 2 ** 20):
+    """Choose (TB, TN) tiles against the 16 MiB scoped-VMEM limit.
+
+    Resident floats per grid step: weights 2*K*TN + io TB*(K + 2*TN), and
+    Pallas DOUBLE-BUFFERS every block (pipeline prefetch), so the footprint
+    is 2x that.  Shrink TN first (weights dominate), then TB.
+    """
+    def cost(tb_, tn_):
+        return 4 * 2 * (2 * k * tn_ + tb_ * (k + 2 * tn_))
+
+    # candidate tiles: lane-aligned divisors of the padded output width,
+    # sublane-aligned divisors of the (rounded) batch
+    tn_cands = [d for d in range(n_out, _LANE - 1, -_LANE)
+                if n_out % d == 0] or [n_out]
+    tb_full = min(_round_up(b, _SUBLANE), 512)
+    tb_cands = [d for d in range(tb_full, _SUBLANE - 1, -_SUBLANE)
+                if tb_full % d == 0] or [tb_full]
+    for tn in tn_cands:
+        for tb in tb_cands:
+            if cost(tb, tn) <= vmem_budget:
+                return tb, tn
+    return tb_cands[-1], tn_cands[-1]
 
 
 def _rdft_pallas(x2d: jnp.ndarray, n: int):

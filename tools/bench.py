@@ -96,7 +96,9 @@ def bench_srp(c=8, t=96, f=257, g=360):
                 lambda s: kcps.cps_phat(s, geom.pairs)), spec)}
 
 
-def bench_pipeline(name: str, nblocks=30):
+def bench_pipeline(name: str, nblocks=30, scan_batch=32):
+    """Per-config throughput: latency mode (block-at-a-time dispatch) and
+    throughput mode (process_blocks: lax.scan over scan_batch blocks)."""
     from mcax.config import get_config
     from mcax.pipeline import Pipeline
     cfg = get_config(name)
@@ -115,9 +117,25 @@ def bench_pipeline(name: str, nblocks=30):
     jax.block_until_ready((state, out))
     dt = time.perf_counter() - t0
     sps = nblocks * cfg.block_len / dt
-    return {"samples_per_s": round(sps, 1),
-            "realtime_factor": round(sps / cfg.sample_rate, 2),
-            "block_latency_ms": round(1e3 * dt / nblocks, 3)}
+    res = {"samples_per_s": round(sps, 1),
+           "realtime_factor": round(sps / cfg.sample_rate, 2),
+           "block_latency_ms": round(1e3 * dt / nblocks, 3)}
+
+    batch = jax.device_put(rng.standard_normal(
+        (scan_batch, pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
+    st2 = pipe.init_state()
+    st2, outs = pipe.process_blocks(st2, batch)
+    jax.block_until_ready(outs)
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st2, outs = pipe.process_blocks(st2, batch)
+    jax.block_until_ready((st2, outs))
+    dt = time.perf_counter() - t0
+    sps2 = iters * scan_batch * cfg.block_len / dt
+    res["scan_samples_per_s"] = round(sps2, 1)
+    res["scan_realtime_factor"] = round(sps2 / cfg.sample_rate, 2)
+    return res
 
 
 def main(argv=None):
