@@ -8,15 +8,36 @@ config-4 chain (8-mic circular, 48 kHz, SRP-PHAT steering + recursive-
 covariance MVDR + OLA resynthesis).  Baseline = the driver-set target of
 10x real-time at 48 kHz = 480_000 samples/s/chip (BASELINE.md — the
 reference publishes no numbers), so vs_baseline > 1.0 beats the target.
+
+Timing is fenced: iterations chain through the streaming state pytree (so
+the device cannot overlap or elide them) and the clock stops only after a
+device->host fetch of a real scalar from the final state/output — on the
+tunneled TPU backend ``block_until_ready`` neither waits nor surfaces
+runtime errors, so naive loops would measure dispatch rate, not compute
+(see tools/bench.py).  The fetched values are also checked finite, so a
+poisoned run cannot report a number.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def _fence(tree) -> float:
+    """Fetch one real scalar from the tree: a true execution barrier."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if not jnp.iscomplexobj(leaf):
+            v = float(jnp.asarray(leaf).ravel()[0])
+            if not math.isfinite(v):
+                raise RuntimeError(f"non-finite bench output: {v}")
+            return v
+    raise ValueError("no real leaf to fence on")
 
 
 def main() -> None:
@@ -32,13 +53,14 @@ def main() -> None:
 
     state = pipe.init_state()
     state, out = pipe.process_blocks(state, blocks)    # compile + warmup
-    jax.block_until_ready(out)
+    _fence(out)
 
-    iters = 8
+    iters = 16
     t0 = time.perf_counter()
     for _ in range(iters):
         state, out = pipe.process_blocks(state, blocks)
-    jax.block_until_ready((state, out))
+    _fence(out)
+    _fence(state)
     dt = time.perf_counter() - t0
 
     samples_per_s = iters * batch * cfg.block_len / dt

@@ -16,8 +16,26 @@ recursion bit-exact (SURVEY.md §5 "long-context").
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def to_planes(z: jnp.ndarray) -> jnp.ndarray:
+    """Pack complex [...] into float32 re/im planes [..., 2].
+
+    Complex64 is an *internal* representation only: every jit boundary the
+    covariance state crosses (streaming state pytree, checkpoints, device
+    transfers) carries real planes.  Some TPU runtimes do not implement
+    complex transfers/buffers at all, and real-valued boundaries keep the
+    state checkpointable with plain float arrays.
+    """
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1).astype(jnp.float32)
+
+
+def from_planes(p: jnp.ndarray) -> jnp.ndarray:
+    """Unpack float32 re/im planes [..., 2] into complex64 [...]."""
+    return jax.lax.complex(p[..., 0], p[..., 1])
 
 
 def block_stats(spectra: jnp.ndarray, forget: float):
@@ -37,7 +55,10 @@ def block_stats(spectra: jnp.ndarray, forget: float):
     w = (1.0 - lam) * lam ** (jnp.float32(t - 1) - k)      # [T]
     x = jnp.moveaxis(spectra, 0, -1)                       # [T, F, C]
     xw = x * w[:, None, None].astype(spectra.dtype)
-    partial = jnp.einsum("tfc,tfd->fcd", xw, jnp.conj(x))
+    # HIGHEST: true fp32 on the MXU — this matrix feeds a Cholesky solve,
+    # and the TPU default (bf16 passes) can make it numerically indefinite
+    partial = jnp.einsum("tfc,tfd->fcd", xw, jnp.conj(x),
+                         precision=jax.lax.Precision.HIGHEST)
     return lam ** t, partial
 
 
@@ -51,6 +72,14 @@ def init(num_bins: int, num_mics: int, scale: float = 1e-6) -> jnp.ndarray:
     """Initial covariance: small identity so the first solves are sane."""
     eye = np.eye(num_mics, dtype=np.complex64) * scale
     return jnp.broadcast_to(jnp.asarray(eye), (num_bins, num_mics, num_mics))
+
+
+def init_planes(num_bins: int, num_mics: int,
+                scale: float = 1e-6) -> jnp.ndarray:
+    """Initial covariance as re/im planes [F, C, C, 2] (state-pytree form)."""
+    p = np.zeros((num_bins, num_mics, num_mics, 2), np.float32)
+    p[..., 0] = np.eye(num_mics, dtype=np.float32) * scale
+    return jnp.asarray(p)
 
 
 def loaded(cov: jnp.ndarray, delta: float) -> jnp.ndarray:

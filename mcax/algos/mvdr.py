@@ -37,8 +37,11 @@ def _cholesky_unrolled(a: jnp.ndarray) -> jnp.ndarray:
         if j:
             lj = l[..., j, :j]                             # [..., j]
             diag = a[..., j, j] - jnp.sum(lj * lj, axis=-1)
+            # VPU-form contraction (mul + sum, never the MXU): dot/einsum
+            # contractions default to bf16 passes on TPU, and bf16 error here
+            # can push `diag` negative and blow up the substitution
             below = (a[..., j + 1:, j]
-                     - jnp.einsum("...ik,...k->...i", l[..., j + 1:, :j], lj))
+                     - jnp.sum(l[..., j + 1:, :j] * lj[..., None, :], axis=-1))
         else:
             diag = a[..., j, j]
             below = a[..., j + 1:, j]
@@ -118,4 +121,5 @@ def beamform(spectra: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     Returns:
       complex64 [..., T, F].
     """
-    return jnp.einsum("...cf,ctf->...tf", jnp.conj(w), spectra)
+    return jnp.einsum("...cf,ctf->...tf", jnp.conj(w), spectra,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -200,7 +200,7 @@ class ShardedPipeline:
             shape = ((cfg.algo.num_sources, lh) if algo == "track_mvdr"
                      else (lh,))
             ola_tail = jnp.zeros(shape, jnp.float32)
-        cov = (cov_mod.init(cfg.stft.num_bins, c)
+        cov = (cov_mod.init_planes(cfg.stft.num_bins, c)
                if algo in _COV_ALGOS else None)
         tracks = (tracking.init_tracks(cfg.algo.num_sources)
                   if algo == "track_mvdr" else None)
@@ -251,7 +251,11 @@ class ShardedPipeline:
 
         algo = cfg.algo.name
         out: Dict[str, jnp.ndarray] = {}
-        new_tail, new_cov, new_tracks = state.ola_tail, state.cov, state.tracks
+        new_tail, new_tracks = state.ola_tail, state.tracks
+        # state.cov crosses the jit boundary as float32 re/im planes
+        # (complex64 is internal-only; see covariance.to_planes)
+        cov = None if state.cov is None else cov_mod.from_planes(state.cov)
+        new_cov = cov
 
         if algo == "gcc":
             res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
@@ -287,7 +291,7 @@ class ShardedPipeline:
             out = {"doa": az, "power": pk}
 
         elif algo == "mvdr":
-            new_cov = self._cov_update(state.cov, spectra)
+            new_cov = self._cov_update(cov, spectra)
             w = mvdr.weights(new_cov, jnp.asarray(self.fixed_steer),
                              cfg.algo.diag_load)
             out["audio"], new_tail = self._resynth(
@@ -298,7 +302,7 @@ class ShardedPipeline:
             pmean = dscan.psum_mean(power, TIME_AXIS)            # [G]
             gidx = jnp.argmax(pmean, axis=-1)
             steer_v = srp.steering_vector(self.srp_plan, gidx)
-            new_cov = self._cov_update(state.cov, spectra)
+            new_cov = self._cov_update(cov, spectra)
             w = mvdr.weights(new_cov, steer_v, cfg.algo.diag_load)
             out["audio"], new_tail = self._resynth(
                 mvdr.beamform(spectra, w), state.ola_tail)
@@ -316,7 +320,7 @@ class ShardedPipeline:
                 jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32),
                 self.suppress_bins, cfg.algo.track_smooth)
             steer_v = srp.steering_vector(self.srp_plan, gidx)   # [S, C, F]
-            new_cov = self._cov_update(state.cov, spectra)
+            new_cov = self._cov_update(cov, spectra)
             w = mvdr.weights(new_cov, steer_v, cfg.algo.diag_load)
             out["audio"], new_tail = self._resynth(
                 mvdr.beamform(spectra, w), state.ola_tail)
@@ -326,9 +330,11 @@ class ShardedPipeline:
         else:
             raise ValueError(f"unknown algo {algo!r}")
 
+        new_cov_planes = (state.cov if new_cov is cov or new_cov is None
+                          else cov_mod.to_planes(new_cov))
         new_state = PipelineState(carry=new_carry,
                                   block_idx=state.block_idx + 1,
-                                  ola_tail=new_tail, cov=new_cov,
+                                  ola_tail=new_tail, cov=new_cov_planes,
                                   tracks=new_tracks)
         return new_state, out
 

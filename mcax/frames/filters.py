@@ -94,14 +94,17 @@ def biquad_apply(x: jnp.ndarray, b: np.ndarray, a: np.ndarray,
     mats = jnp.broadcast_to(jnp.asarray(am), (n, *xt.shape[1:], 2, 2))
     offs = xt[..., None] * jnp.asarray(cv)                 # [N, ..., 2]
     # fold the incoming carry into the first step's offset: s[0] = A s_in + c[0]
-    offs = offs.at[0].add(jnp.einsum("ij,...j->...i", jnp.asarray(am), carry))
+    offs = offs.at[0].add(jnp.einsum("ij,...j->...i", jnp.asarray(am), carry,
+                                     precision=jax.lax.Precision.HIGHEST))
 
     def combine(left, right):
         """(M1, v1) then (M2, v2): s -> M2 (M1 s + v1) + v2."""
         m1, v1 = left
         m2, v2 = right
-        return (jnp.einsum("...ij,...jk->...ik", m2, m1),
-                jnp.einsum("...ij,...j->...i", m2, v1) + v2)
+        return (jnp.einsum("...ij,...jk->...ik", m2, m1,
+                           precision=jax.lax.Precision.HIGHEST),
+                jnp.einsum("...ij,...j->...i", m2, v1,
+                           precision=jax.lax.Precision.HIGHEST) + v2)
 
     _, s = jax.lax.associative_scan(combine, (mats, offs), axis=0)  # [N, ..., 2]
     s_prev = jnp.concatenate([carry[None], jnp.moveaxis(s, 0, 0)[:-1]], axis=0)
@@ -155,4 +158,5 @@ def mel_filterbank(n_fft: int, n_mels: int, fs: float,
 
 def mel_energies(power_spectra: jnp.ndarray, weights: np.ndarray) -> jnp.ndarray:
     """[..., F] power spectra → [..., n_mels] band energies (one matmul)."""
-    return power_spectra @ jnp.asarray(weights).T
+    return jnp.matmul(power_spectra, jnp.asarray(weights).T,
+                      precision=jax.lax.Precision.HIGHEST)

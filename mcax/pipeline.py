@@ -106,7 +106,7 @@ class Pipeline:
                 ola_tail = jnp.zeros((cfg.algo.num_sources, lh), jnp.float32)
             else:
                 ola_tail = jnp.zeros((lh,), jnp.float32)
-        cov = (cov_mod.init(cfg.stft.num_bins, c)
+        cov = (cov_mod.init_planes(cfg.stft.num_bins, c)
                if algo in _COV_ALGOS else None)
         tracks = (tracking.init_tracks(cfg.algo.num_sources)
                   if algo == "track_mvdr" else None)
@@ -188,7 +188,11 @@ class Pipeline:
 
         algo = cfg.algo.name
         out: Dict[str, jnp.ndarray] = {}
-        new_tail, new_cov, new_tracks = state.ola_tail, state.cov, state.tracks
+        new_tail, new_tracks = state.ola_tail, state.tracks
+        # state.cov crosses the jit boundary as float32 re/im planes
+        # (complex64 is internal-only; see covariance.to_planes)
+        cov = None if state.cov is None else cov_mod.from_planes(state.cov)
+        new_cov = cov
 
         if algo == "gcc":
             res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
@@ -228,7 +232,7 @@ class Pipeline:
             out = {"doa": az, "power": pk}
 
         elif algo == "mvdr":
-            new_cov = cov_mod.update(state.cov, spectra, cfg.algo.cov_forget)
+            new_cov = cov_mod.update(cov, spectra, cfg.algo.cov_forget)
             w = mvdr.weights(new_cov, jnp.asarray(self.fixed_steer),
                              cfg.algo.diag_load)
             y = mvdr.beamform(spectra, w)                  # [T, F]
@@ -240,7 +244,7 @@ class Pipeline:
             pmean = jnp.mean(power, axis=-2)               # [G]
             gidx = jnp.argmax(pmean, axis=-1)
             steer = srp.steering_vector(self.srp_plan, gidx)   # [C, F]
-            new_cov = cov_mod.update(state.cov, spectra, cfg.algo.cov_forget)
+            new_cov = cov_mod.update(cov, spectra, cfg.algo.cov_forget)
             w = mvdr.weights(new_cov, steer, cfg.algo.diag_load)
             y = mvdr.beamform(spectra, w)
             out["audio"], new_tail = self._resynth(y, state.ola_tail)
@@ -259,7 +263,7 @@ class Pipeline:
                 jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32),
                 self.suppress_bins, cfg.algo.track_smooth)
             steer = srp.steering_vector(self.srp_plan, gidx)   # [S, C, F]
-            new_cov = cov_mod.update(state.cov, spectra, cfg.algo.cov_forget)
+            new_cov = cov_mod.update(cov, spectra, cfg.algo.cov_forget)
             w = mvdr.weights(new_cov, steer, cfg.algo.diag_load)  # [S, C, F]
             y = mvdr.beamform(spectra, w)                  # [S, T, F]
             out["audio"], new_tail = self._resynth(y, state.ola_tail)
@@ -269,9 +273,11 @@ class Pipeline:
         else:
             raise ValueError(f"unknown algo {algo!r}")
 
+        new_cov_planes = (state.cov if new_cov is cov or new_cov is None
+                          else cov_mod.to_planes(new_cov))
         new_state = PipelineState(carry=new_carry,
                                   block_idx=state.block_idx + 1,
-                                  ola_tail=new_tail, cov=new_cov,
+                                  ola_tail=new_tail, cov=new_cov_planes,
                                   tracks=new_tracks)
         return new_state, out
 

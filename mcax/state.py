@@ -24,5 +24,7 @@ class PipelineState:
     carry: jnp.ndarray                    # [C, frame_len - hop] input carry
     block_idx: jnp.ndarray                # scalar int32
     ola_tail: Optional[jnp.ndarray] = None   # [(S,) frame_len - hop] OLA carry
-    cov: Optional[jnp.ndarray] = None        # [F, C, C] complex64
+    cov: Optional[jnp.ndarray] = None        # [F, C, C, 2] float32 re/im
+                                             # planes (complex is internal-
+                                             # only; covariance.from_planes)
     tracks: Optional[TrackState] = None

@@ -9,9 +9,25 @@ Measures, on the current default device:
 emitting one JSON document (use bench.py at the repo root for the driver's
 single-line summary).
 
-Speed-of-light model: fp32 matmul peak via MCAX_PEAK_FLOPS (default 4.9e13,
-TPU v5e ≈ 197 bf16 TFLOP/s / 4 for fp32 accumulate); DFT cost model is the
-matmul form actually executed (4*B*N*F real MACs), not N log N.
+Timing methodology (IMPORTANT): on the tunneled TPU backend
+``jax.block_until_ready`` returns without waiting for device execution and
+does not surface runtime errors, so naive host loops measure dispatch rate,
+not compute.  Every measurement here instead
+
+  1. threads a data dependency through the iterations (iteration i+1's
+     input depends on iteration i's output), so independent dispatches
+     cannot be overlapped, elided, or farmed out, and
+  2. fences with a device->host fetch of a real scalar derived from the
+     final output, which cannot complete before the computation does
+     (complex transfers are unimplemented on that backend — probes are
+     always real-valued).
+
+The dependency injection adds one elementwise pass over the input per
+iteration (x + c*1e-30), making all numbers slightly conservative.
+
+Speed-of-light model: fp32 matmul peak via MCAX_PEAK_FLOPS (default 3.3e13 —
+TPU v5e ≈ 197 bf16 TFLOP/s, fp32 via HIGHEST ≈ 6 bf16 passes); DFT cost
+model is the matmul form actually executed (4*B*N*F real MACs), not N log N.
 """
 
 from __future__ import annotations
@@ -30,17 +46,41 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PEAK_FLOPS = float(os.environ.get("MCAX_PEAK_FLOPS", 4.9e13))
+PEAK_FLOPS = float(os.environ.get("MCAX_PEAK_FLOPS", 3.3e13))
 
 
-def _timeit(fn, *args, iters=50, warmup=5):
+def _probe(tree) -> jnp.ndarray:
+    """Reduce any output pytree to one real fp32 scalar that depends on
+    every leaf (so no part of the computation can be dead-code-eliminated)."""
+    total = jnp.float32(0.0)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if jnp.iscomplexobj(leaf):
+            total = total + jnp.sum(jnp.abs(leaf)).astype(jnp.float32)
+        else:
+            total = total + jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+    return total
+
+
+def fenced_timeit(fn, x, iters=30, warmup=2):
+    """Time ``fn(x)`` per-iteration with chained dispatches + a real fence.
+
+    fn: float array -> any pytree.  Returns seconds/iteration including the
+    probe reduction (sum|.| over outputs) but amortising dispatch latency.
+    """
+
+    @jax.jit
+    def step(x, c):
+        out = fn(x + c * jnp.float32(1e-30))
+        return _probe(out) * jnp.float32(1e-30)
+
+    c = jnp.float32(0.0)
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        c = step(x, c)
+    float(c)                                   # fence warmup/compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        c = step(x, c)
+    float(c)                                   # fence: real scalar fetch
     return (time.perf_counter() - t0) / iters
 
 
@@ -51,15 +91,13 @@ def bench_fft(n=512, batch=8192):
     res = {}
     f = n // 2 + 1
     flops = 4.0 * batch * n * f
-    jit_x = jax.jit(lambda v: jnp.fft.rfft(v))
-    res["xla_rfft_s"] = _timeit(jit_x, x)
+    res["xla_rfft_s"] = fenced_timeit(jnp.fft.rfft, x)
     res["xla_rfft_gflops"] = flops / res["xla_rfft_s"] / 1e9
     prev = os.environ.get("MCAX_BACKEND")
     os.environ["MCAX_BACKEND"] = "pallas"
     try:
         if jax.default_backend() in ("tpu", "axon"):
-            jit_p = jax.jit(kfft.rfft)
-            res["pallas_rfft_s"] = _timeit(jit_p, x)
+            res["pallas_rfft_s"] = fenced_timeit(kfft.rfft, x)
             res["pallas_rfft_gflops"] = flops / res["pallas_rfft_s"] / 1e9
             res["pallas_rfft_pct_sol"] = round(
                 100.0 * flops / res["pallas_rfft_s"] / PEAK_FLOPS, 2)
@@ -68,8 +106,7 @@ def bench_fft(n=512, batch=8192):
             os.environ.pop("MCAX_BACKEND", None)
         else:
             os.environ["MCAX_BACKEND"] = prev
-    jit_m = jax.jit(kfft.rfft_matmul)
-    res["matmul_rfft_s"] = _timeit(jit_m, x)
+    res["matmul_rfft_s"] = fenced_timeit(kfft.rfft_matmul, x)
     res["matmul_rfft_gflops"] = flops / res["matmul_rfft_s"] / 1e9
     res["matmul_rfft_pct_sol"] = round(
         100.0 * flops / res["matmul_rfft_s"] / PEAK_FLOPS, 2)
@@ -84,21 +121,38 @@ def bench_srp(c=8, t=96, f=257, g=360):
                              sample_rate=16000)
     plan = srp.make_plan(geom, (f - 1) * 2, g)
     rng = np.random.default_rng(1)
-    spec = jnp.asarray((rng.standard_normal((c, t, f)) +
-                        1j * rng.standard_normal((c, t, f))).astype(np.complex64))
+    # complex inputs are formed ON device from one real array (complex
+    # host->device transfers are unimplemented on the tunneled backend)
+    both = jnp.asarray(rng.standard_normal((2, c, t, f)).astype(np.float32))
     p = geom.num_pairs
-    fn = jax.jit(lambda s: srp.srp_surface(s, geom.pairs, plan))
-    dt = _timeit(fn, spec)
+
+    def srp_fn(b):
+        spec = jax.lax.complex(b[0], b[1])
+        return srp.srp_surface(spec, geom.pairs, plan)
+
+    dt = fenced_timeit(srp_fn, both)
     flops = 4.0 * t * (p * f) * g          # two real matmuls
+    def cps_fn(b):
+        return kcps.cps_phat(jax.lax.complex(b[0], b[1]), geom.pairs)
     return {"srp_power_s": dt, "srp_gflops": flops / dt / 1e9,
             "srp_pct_sol": round(100.0 * flops / dt / PEAK_FLOPS, 2),
-            "cps_phat_s": _timeit(jax.jit(
-                lambda s: kcps.cps_phat(s, geom.pairs)), spec)}
+            "cps_phat_s": fenced_timeit(cps_fn, both)}
 
 
-def bench_pipeline(name: str, nblocks=30, scan_batch=32):
+def _fence_tree(tree) -> float:
+    """Fence on an existing output pytree: fetch one real scalar element."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if not jnp.iscomplexobj(leaf):
+            return float(jnp.asarray(leaf).ravel()[0])
+    raise ValueError("no real leaf to fence on")
+
+
+def bench_pipeline(name: str, nblocks=30, scan_batch=32, scan_iters=16):
     """Per-config throughput: latency mode (block-at-a-time dispatch) and
-    throughput mode (process_blocks: lax.scan over scan_batch blocks)."""
+    throughput mode (process_blocks: lax.scan over scan_batch blocks).
+
+    Both modes are naturally chained (the state pytree threads through every
+    call), so one final real-scalar fetch is a sound fence."""
     from mcax.config import get_config
     from mcax.pipeline import Pipeline
     cfg = get_config(name)
@@ -110,11 +164,12 @@ def bench_pipeline(name: str, nblocks=30, scan_batch=32):
     state = pipe.init_state()
     for b in range(3):
         state, out = pipe.process_block(state, blocks[b % 4])
-    jax.block_until_ready(out)
+    _fence_tree(out)
     t0 = time.perf_counter()
     for b in range(nblocks):
         state, out = pipe.process_block(state, blocks[b % 4])
-    jax.block_until_ready((state, out))
+    _fence_tree(out)
+    _fence_tree(state)
     dt = time.perf_counter() - t0
     sps = nblocks * cfg.block_len / dt
     res = {"samples_per_s": round(sps, 1),
@@ -125,14 +180,14 @@ def bench_pipeline(name: str, nblocks=30, scan_batch=32):
         (scan_batch, pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
     st2 = pipe.init_state()
     st2, outs = pipe.process_blocks(st2, batch)
-    jax.block_until_ready(outs)
-    iters = 8
+    _fence_tree(outs)
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(scan_iters):
         st2, outs = pipe.process_blocks(st2, batch)
-    jax.block_until_ready((st2, outs))
+    _fence_tree(outs)
+    _fence_tree(st2)
     dt = time.perf_counter() - t0
-    sps2 = iters * scan_batch * cfg.block_len / dt
+    sps2 = scan_iters * scan_batch * cfg.block_len / dt
     res["scan_samples_per_s"] = round(sps2, 1)
     res["scan_realtime_factor"] = round(sps2 / cfg.sample_rate, 2)
     return res
