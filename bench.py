@@ -47,7 +47,10 @@ def main() -> None:
     cfg = get_config("config4")
     pipe = Pipeline(cfg)
     rng = np.random.default_rng(0)
-    batch = 32                               # blocks per dispatch (lax.scan)
+    batch = 64     # blocks per dispatch (lax.scan): 32 still leaves the
+                   # dispatch overhead visible on the tunneled backend
+                   # (1.73 ms/block); 64 saturates at ~0.30 ms/block and
+                   # 128/256 gain nothing further (PERF.md)
     blocks = jax.device_put(rng.standard_normal(
         (batch, pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
 

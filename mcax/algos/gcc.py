@@ -125,6 +125,78 @@ def doa_from_tdoa(tdoa_s: jnp.ndarray, plan: GccPlan) -> jnp.ndarray:
     return jnp.arccos(s)
 
 
+def multiband_masks(n_fft: int, sample_rate: float, num_bands: int,
+                    scale: str = "mel", fmin: float = 50.0,
+                    fmax: float = None) -> np.ndarray:
+    """[B, F] float32 band masks partitioning the half spectrum.
+
+    The reference's dspone ``SubBandSTFT`` hands each sub-band to the
+    algorithm independently (mcarray's multiband binaural localisation
+    builds per-band estimates and fuses them); these masks are the batched
+    equivalent — one static weight row per band, applied to the PHAT CPS.
+    scale: "mel" (mel-spaced edges, like a filter-bank split) or "linear".
+    """
+    f = n_fft // 2 + 1
+    freqs = sample_rate * np.arange(f) / n_fft
+    fmax = sample_rate / 2 if fmax is None else fmax
+    if scale == "mel":
+        def to_mel(hz):
+            return 2595.0 * np.log10(1.0 + np.asarray(hz) / 700.0)
+        def from_mel(m):
+            return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+        edges = from_mel(np.linspace(to_mel(fmin), to_mel(fmax),
+                                     num_bands + 1))
+    elif scale == "linear":
+        edges = np.linspace(fmin, fmax, num_bands + 1)
+    else:
+        raise ValueError(f"scale must be mel|linear, got {scale!r}")
+    masks = np.zeros((num_bands, f), np.float32)
+    for b in range(num_bands):
+        lo, hi = edges[b], edges[b + 1]
+        masks[b] = (freqs >= lo) & (freqs < hi if b + 1 < num_bands
+                                    else freqs <= hi)
+    return masks
+
+
+def gcc_phat_multiband(spectra: jnp.ndarray, pairs: np.ndarray, plan: GccPlan,
+                       band_masks: np.ndarray,
+                       eps: float = kcps.DEFAULT_PHAT_EPS,
+                       interpolate: bool = True, weighting: str = "phat"):
+    """Sub-band GCC: independent per-band TDOA/DOA, confidence-fused.
+
+    Each band's PHAT CPS is cross-correlated and peak-picked separately
+    (one batched irfft over a leading band axis), then the per-band TDOAs
+    are fused with weights = relu(peak) per band — bands where the source
+    has no energy contribute ~0.  This is the behavioral analogue of the
+    reference's sub-band localisation (dspone SubBandSTFT + mcarray
+    multiband binaural module, SURVEY.md §2b), re-designed as one jitted
+    batch instead of a per-band object loop.
+
+    Args:
+      spectra: complex64 [C, T, F]; band_masks: [B, F] (multiband_masks).
+    Returns:
+      dict with per-band tdoa/doa/peak [B, P, T] and fused tdoa/doa [P, T].
+    """
+    g = kcps.cps_weighted(spectra, pairs, weighting=weighting, eps=eps)
+    masks = jnp.asarray(band_masks, jnp.float32)
+    gb = g[None] * masks[:, None, None, :].astype(g.dtype)
+    tau, peak = tdoa(gb, plan, interpolate=interpolate)    # [B, P, T]
+    # fusion weight = per-bin coherence^4: a PHAT cc peak grows with the
+    # number of bins in the band (each whitened bin contributes 2/n_fft via
+    # Hermitian symmetry), so the raw peak would let wide-but-ambiguous
+    # bands dominate; normalising by 2*width/n_fft gives a [0,1] coherence,
+    # and the 4th power strongly downweights partially-coherent bands
+    width = jnp.sum(masks, axis=-1)                        # [B]
+    coherence = peak * jnp.float32(plan.n_fft) / (
+        2.0 * jnp.maximum(width, 1.0)[:, None, None])
+    w = jnp.clip(coherence, 0.0, 1.0) ** 4
+    wsum = jnp.sum(w, axis=0)
+    tau_fused = jnp.sum(w * tau, axis=0) / jnp.where(wsum > 1e-12, wsum, 1.0)
+    return {"tdoa": tau, "doa": doa_from_tdoa(tau, plan), "peak": peak,
+            "tdoa_fused": tau_fused,
+            "doa_fused": doa_from_tdoa(tau_fused, plan)}
+
+
 def gcc_phat_block(spectra: jnp.ndarray, pairs: np.ndarray, plan: GccPlan,
                    eps: float = kcps.DEFAULT_PHAT_EPS,
                    interpolate: bool = True, weighting: str = "phat"):

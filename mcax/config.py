@@ -70,6 +70,10 @@ class AlgoConfig:
     # Sub-band processing (dspone SubBandSTFT analogue): restrict GCC/SRP to
     # a frequency band [lo, hi] Hz; None = full band.
     band_hz: Optional[Tuple[float, float]] = None
+    # Multiband GCC (mcarray's multiband binaural localisation analogue):
+    # split the spectrum into this many mel-spaced sub-bands, estimate
+    # per-band TDOAs independently and fuse by coherence (gcc algo only).
+    gcc_bands: Optional[int] = None
     # SRP grid
     grid_points: int = 360
     # Fixed steering (delay-sum / MVDR without localisation), radians.

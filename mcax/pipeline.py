@@ -61,6 +61,9 @@ class Pipeline:
         self.gcc_plan = (gcc.make_plan(self.geom, s.frame_len,
                                        band_hz=cfg.algo.band_hz)
                          if algo == "gcc" else None)
+        self._gcc_band_masks = (gcc.multiband_masks(
+            s.frame_len, cfg.sample_rate, cfg.algo.gcc_bands)
+            if algo == "gcc" and cfg.algo.gcc_bands else None)
         self.srp_plan = (srp.make_plan(self.geom, s.frame_len,
                                        cfg.algo.grid_points,
                                        band_hz=cfg.algo.band_hz)
@@ -195,11 +198,21 @@ class Pipeline:
         new_cov = cov
 
         if algo == "gcc":
-            res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
-                                     eps=cfg.algo.phat_eps,
-                                     interpolate=cfg.algo.interpolate,
-                                     weighting=cfg.algo.gcc_weighting)
-            out = {"tdoa": res["tdoa"], "doa": res["doa"], "peak": res["peak"]}
+            if cfg.algo.gcc_bands:
+                res = gcc.gcc_phat_multiband(
+                    spectra, self.pairs, self.gcc_plan, self._gcc_band_masks,
+                    eps=cfg.algo.phat_eps,
+                    interpolate=cfg.algo.interpolate,
+                    weighting=cfg.algo.gcc_weighting)
+                out = {"tdoa": res["tdoa_fused"], "doa": res["doa_fused"],
+                       "tdoa_band": res["tdoa"], "peak": res["peak"]}
+            else:
+                res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
+                                         eps=cfg.algo.phat_eps,
+                                         interpolate=cfg.algo.interpolate,
+                                         weighting=cfg.algo.gcc_weighting)
+                out = {"tdoa": res["tdoa"], "doa": res["doa"],
+                       "peak": res["peak"]}
 
         elif algo == "delaysum":
             steer = jnp.asarray(self.fixed_steer)

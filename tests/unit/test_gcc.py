@@ -91,3 +91,53 @@ def test_config1_streaming_matches_oneshot():
     res = gcc.gcc_phat_block(spec, g.pairs, plan)
     oneshot = np.asarray(res["tdoa"]).reshape(-1)
     np.testing.assert_allclose(streamed, oneshot[:len(streamed)], atol=1e-7)
+
+def test_multiband_per_band_and_fused():
+    """Sub-band GCC (dspone SubBandSTFT analogue): every band carrying
+    source energy recovers the injected TDOA; the confidence-weighted
+    fusion matches the full-band estimate within a quarter sample."""
+    g = _stereo_geom()
+    az = np.deg2rad(40.0)
+    x = helpers.array_signals(g, az, 8192, seed=11)
+    w = win_mod.hann(512)
+    spec = stft_mod.stft(x, w, 256)
+    plan = gcc.make_plan(g, 512)
+    masks = gcc.multiband_masks(512, g.sample_rate, num_bands=6, scale="mel")
+    assert masks.shape == (6, 257)
+    res = gcc.gcc_phat_multiband(spec, g.pairs, plan, masks)
+    expected = g.pair_tdoas(np.asarray([az]))[0, 0]
+    tau_b = np.asarray(res["tdoa"])                         # [B, P, T]
+    peak_b = np.asarray(res["peak"])
+    # bands fully inside the source's band-limit (0.9 Nyquist) and wide
+    # enough to disambiguate the peak recover the delay; the top mel band
+    # is partially empty and narrow (sidelobe-ambiguous), so skip it
+    for b in range(5):
+        med = np.median(tau_b[b, 0])
+        assert abs(med - expected) < 0.5 / g.sample_rate, (b, med, expected)
+    fused = np.median(np.asarray(res["tdoa_fused"])[0])
+    assert abs(fused - expected) < 0.25 / g.sample_rate
+    assert np.all(peak_b >= -1.0)
+
+
+def test_multiband_empty_band_gets_no_weight():
+    """A band above the source's band-limit has ~zero peak confidence and
+    must not corrupt the fused estimate."""
+    g = _stereo_geom()
+    az = np.deg2rad(-20.0)
+    # band-limit the source to 0.4 Nyquist = 3.2 kHz
+    x = helpers.array_signals(g, az, 8192, seed=13, bandlimit=0.4)
+    w = win_mod.hann(512)
+    spec = stft_mod.stft(x, w, 256)
+    plan = gcc.make_plan(g, 512)
+    masks = gcc.multiband_masks(512, g.sample_rate, num_bands=4,
+                                scale="linear", fmin=0.0)
+    res = gcc.gcc_phat_multiband(spec, g.pairs, plan, masks)
+    peak_b = np.asarray(res["peak"])                        # [B, P, T]
+    # top linear band (6-8 kHz) is empty: its mean confidence must be far
+    # below the occupied bottom band's
+    assert peak_b[3].mean() < 0.3 * peak_b[0].mean()
+    # a 3.2 kHz-limited source gives a coarse correlation peak: within one
+    # sample is the realistic bound here
+    expected = g.pair_tdoas(np.asarray([az]))[0, 0]
+    fused = np.median(np.asarray(res["tdoa_fused"])[0])
+    assert abs(fused - expected) < 1.0 / g.sample_rate

@@ -163,3 +163,24 @@ def test_srp_delaysum_sharded_parity():
     np.testing.assert_allclose(np.asarray(o2["audio"]), np.asarray(o1["audio"]),
                                rtol=3e-5, atol=1e-4)
     np.testing.assert_allclose(float(o2["doa"]), float(o1["doa"]), atol=1e-6)
+
+def test_gcc_multiband_pipeline():
+    """gcc_bands config: the fused multiband DOA stream matches the
+    injected azimuth (pipeline-level wiring of gcc_phat_multiband)."""
+    import jax.numpy as jnp
+    base = cfg_mod.get_config("config1")
+    cfg = dataclasses.replace(
+        base, algo=dataclasses.replace(base.algo, gcc_bands=5))
+    pipe = Pipeline(cfg, jit=False)
+    g = pipe.geom
+    az = np.deg2rad(55.0)
+    x = helpers.array_signals(g, az, cfg.block_len * 3, seed=21)
+    state = pipe.init_state()
+    doas = []
+    for b in range(3):
+        state, out = pipe._block_step(
+            state, jnp.asarray(x[:, b*cfg.block_len:(b+1)*cfg.block_len]))
+        assert out["tdoa_band"].shape[0] == 5
+        doas.append(np.asarray(out["doa"]))
+    est = np.rad2deg(np.median(np.concatenate(doas, axis=-1)[0, 4:]))
+    assert abs(est - 55.0) < 3.0, est
