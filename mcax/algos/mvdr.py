@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mcax.algos import covariance as cov_mod
 
@@ -26,48 +27,52 @@ def _cholesky_unrolled(a: jnp.ndarray) -> jnp.ndarray:
 
     a: [..., n, n] float32 SPD → lower-triangular L with a = L L^T.
 
-    n is small (2*C <= 32), so an unrolled column sweep of batch-vectorized
-    VPU ops both compiles fast and runs fast on TPU, whereas the stock
+    n is small (2*C <= 32), so an unrolled sweep of batch-vectorized VPU ops
+    both compiles fast and runs fast on TPU, whereas the stock
     ``lax.linalg.cholesky`` lowering stalls this backend's compiler at the
     shipped batch sizes ([513, 16, 16] never finishes compiling).
+
+    Right-looking outer-product form: each step extracts one column from the
+    running residual and subtracts its outer product — elementwise ops only.
+    No ``.at[].set`` updates of L (a dynamic-update-slice per column made
+    XLA copy the whole batched tensor n times: ~1 GB of pure copy traffic at
+    config4's batched shapes) and no dot/einsum contractions (TPU defaults
+    them to bf16 passes, whose error can push the residual diagonal negative
+    and blow up the substitution).
     """
     n = a.shape[-1]
-    l = jnp.zeros_like(a)
+    resid = a
+    cols = []
+    row_ge = [jnp.asarray((np.arange(n) >= j), jnp.float32)    # [n] masks
+              for j in range(n)]
     for j in range(n):
-        if j:
-            lj = l[..., j, :j]                             # [..., j]
-            diag = a[..., j, j] - jnp.sum(lj * lj, axis=-1)
-            # VPU-form contraction (mul + sum, never the MXU): dot/einsum
-            # contractions default to bf16 passes on TPU, and bf16 error here
-            # can push `diag` negative and blow up the substitution
-            below = (a[..., j + 1:, j]
-                     - jnp.sum(l[..., j + 1:, :j] * lj[..., None, :], axis=-1))
-        else:
-            diag = a[..., j, j]
-            below = a[..., j + 1:, j]
-        d = jnp.sqrt(jnp.maximum(diag, 1e-30))
-        l = l.at[..., j, j].set(d)
+        d = jnp.sqrt(jnp.maximum(resid[..., j, j], 1e-30))     # [...]
+        col = (resid[..., :, j] / d[..., None]) * row_ge[j]    # [..., n]
+        cols.append(col)
         if j + 1 < n:
-            l = l.at[..., j + 1:, j].set(below / d[..., None])
-    return l
+            resid = resid - col[..., :, None] * col[..., None, :]
+    return jnp.stack(cols, axis=-1)
 
 
 def _solve_triangular_unrolled(l: jnp.ndarray, b: jnp.ndarray,
                                lower: bool) -> jnp.ndarray:
     """Solve L y = b (lower) or L^T y = b (upper) by static substitution.
-    l: [..., n, n]; b: [..., n] → y: [..., n]."""
+    l: [..., n, n]; b: [..., n] → y: [..., n].
+
+    Column sweep: once y_k is known, its contribution L[:, k]·y_k (resp.
+    L[k, :]·y_k for the transpose) is subtracted from the whole remainder in
+    one vector op — n elementwise steps instead of n²/2 scalar-slice ops.
+    Entries at indices already consumed pick up garbage in ``rem``, which is
+    harmless: each rem[..., k] is read exactly once, before its update."""
     n = l.shape[-1]
     ys = [None] * n
+    rem = b
     order = range(n) if lower else range(n - 1, -1, -1)
-    for i in order:
-        acc = b[..., i]
-        if lower:
-            for k in range(i):
-                acc = acc - l[..., i, k] * ys[k]
-        else:
-            for k in range(i + 1, n):
-                acc = acc - l[..., k, i] * ys[k]
-        ys[i] = acc / l[..., i, i]
+    for k in order:
+        yk = rem[..., k] / l[..., k, k]
+        ys[k] = yk
+        contrib = l[..., :, k] if lower else l[..., k, :]
+        rem = rem - contrib * yk[..., None]
     return jnp.stack(ys, axis=-1)
 
 

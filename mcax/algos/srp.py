@@ -65,9 +65,23 @@ def make_plan(geom: geo.ArrayGeometry, n_fft: int,
 
 def srp_surface(spectra: jnp.ndarray, pairs: np.ndarray, plan: SrpPlan,
                 eps: float = kcps.DEFAULT_PHAT_EPS) -> jnp.ndarray:
-    """Steered-power surface per frame: [..., C, T, F] → [..., T, G]."""
-    g = kcps.cps_phat(spectra, pairs, eps=eps)
-    return ksteer.srp_power(g, plan.e_re, plan.e_im)
+    """Steered-power surface per frame: [..., C, T, F] → [..., T, G].
+
+    Layout: the C-spectra are transposed to [..., T, C, F] *before* the pair
+    gather, so the PHAT CPS lands directly in the [..., T, P, F] layout the
+    steering matmul consumes ([..., T, P·F] is then a free reshape) — one
+    small transpose instead of transposing the P/C-times-larger CPS tensor.
+    """
+    st = jnp.moveaxis(spectra, -3, -2)                     # [..., T, C, F]
+    i = jnp.asarray(pairs[:, 0])
+    j = jnp.asarray(pairs[:, 1])
+    xi = jnp.take(st, i, axis=-2)                          # [..., T, P, F]
+    xj = jnp.take(st, j, axis=-2)
+    g = kcps.cps_phat_pairs(xi, xj, eps)
+    *lead, t, p, f = g.shape
+    gr = jnp.real(g).reshape(*lead, t, p * f)
+    gi = jnp.imag(g).reshape(*lead, t, p * f)
+    return ksteer.srp_power_flat(gr, gi, plan.e_re, plan.e_im)
 
 
 def argmax_doa(power: jnp.ndarray, plan: SrpPlan, interpolate: bool = False):

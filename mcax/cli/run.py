@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default="config1",
                    choices=sorted(cfg_mod.PRESETS),
                    help="acceptance preset (BASELINE.json)")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="SECTION.FIELD=VALUE",
+                   help="override any config field (repeatable), e.g. "
+                        "--set algo.gcc_bands=5 --set stft.hop=128")
     p.add_argument("--doa-out", default=None, help="DOA stream CSV path")
     p.add_argument("--wav-out", default=None, help="beamformed audio WAV path")
     p.add_argument("--metrics", default=None, help="per-block JSONL metrics")
@@ -90,7 +94,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO,
                         format="%(levelname)s mcax: %(message)s")
-    cfg = cfg_mod.get_config(args.config)
+    cfg = cfg_mod.apply_overrides(cfg_mod.get_config(args.config),
+                                  args.overrides)
     from mcax.io import stream as stream_mod
     rate, total_frames, channels = wav_io.wav_info(args.input)
     c_need = cfg.array.num_mics

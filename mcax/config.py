@@ -131,6 +131,59 @@ class PipelineConfig:
         return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def _coerce(text: str, annot) -> object:
+    """Parse a CLI string into the type a dataclass field expects."""
+    if text.lower() in ("none", "null"):
+        return None
+    base = annot
+    if hasattr(annot, "__origin__"):                # Optional[...] / Tuple[..]
+        args = [a for a in getattr(annot, "__args__", ()) if a is not type(None)]
+        base = args[0] if args else str
+        if getattr(annot, "__origin__", None) is tuple or (
+                hasattr(base, "__origin__") and base.__origin__ is tuple):
+            return tuple(float(v) for v in text.split(","))
+    if base is bool:
+        return text.lower() in ("1", "true", "yes", "on")
+    if base is int:
+        return int(text)
+    if base is float:
+        return float(text)
+    return text
+
+
+def apply_overrides(cfg: "PipelineConfig", overrides) -> "PipelineConfig":
+    """Apply ``section.field=value`` strings (CLI ``--set``) to a preset.
+
+    The reference exposes every parameter as a constructor argument; this is
+    the equivalent: any field of the nested frozen dataclasses is reachable,
+    e.g. ``algo.gcc_bands=5``, ``stft.hop=128``, ``block_len=8192``,
+    ``algo.band_hz=300,3400``.  Types are coerced from the field annotation.
+    """
+    for item in overrides or ():
+        if "=" not in item:
+            raise ValueError(f"--set expects section.field=value, got {item!r}")
+        path, value = item.split("=", 1)
+        parts = path.split(".")
+        objs = [cfg]
+        for p in parts[:-1]:
+            objs.append(getattr(objs[-1], p))
+        leaf_obj, field_name = objs[-1], parts[-1]
+        # resolve string annotations (PEP 563: `from __future__ import
+        # annotations` makes f.type a str)
+        import typing
+        hints = typing.get_type_hints(type(leaf_obj))
+        if field_name not in hints:
+            raise ValueError(
+                f"unknown config field {path!r} (no {field_name!r} on "
+                f"{type(leaf_obj).__name__})")
+        new = dataclasses.replace(
+            leaf_obj, **{field_name: _coerce(value, hints[field_name])})
+        for obj, attr in zip(reversed(objs[:-1]), reversed(parts[:-1])):
+            new = dataclasses.replace(obj, **{attr: new})
+        cfg = new
+    return cfg
+
+
 # ---------------------------------------------------------------------------
 # The five acceptance presets (BASELINE.json:6-12)
 # ---------------------------------------------------------------------------

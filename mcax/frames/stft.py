@@ -36,7 +36,21 @@ def _frame_indices(block_len: int, frame_len: int, hop: int) -> np.ndarray:
 
 
 def frame_signal(x: jnp.ndarray, frame_len: int, hop: int) -> jnp.ndarray:
-    """[..., N] → [..., T, frame_len] by strided gather (static indices)."""
+    """[..., N] → [..., T, frame_len] framing.
+
+    When the hop divides the frame length (every shipped config), frames are
+    assembled from k = frame_len/hop contiguous hop-sized slabs — k shifted
+    slice views concatenated on the last axis.  That is pure contiguous
+    copying, much cheaper on TPU than the strided-gather fallback (a gather
+    of T×frame_len indices), which remains for general (hop, frame) pairs.
+    """
+    t = num_frames(x.shape[-1], frame_len, hop)
+    if frame_len % hop == 0 and t > 0:
+        k = frame_len // hop
+        nslab = x.shape[-1] // hop
+        slabs = x[..., : nslab * hop].reshape(*x.shape[:-1], nslab, hop)
+        parts = [slabs[..., j:j + t, :] for j in range(k)]
+        return jnp.concatenate(parts, axis=-1)
     idx = _frame_indices(x.shape[-1], frame_len, hop)
     return x[..., idx]
 
@@ -50,18 +64,21 @@ def stft(x: jnp.ndarray, window: np.ndarray, hop: int) -> jnp.ndarray:
       hop: frame advance in samples.
     Returns:
       complex64 spectra [..., T, F] with F = L//2 + 1.
+
+    The analysis window is folded into the DFT matrix on matmul-DFT
+    backends (kernels.fft.rfft window parameter) — no separate multiply
+    pass over the frame tensor.
     """
     frames = frame_signal(x, int(window.shape[0]), hop)
-    frames = frames * jnp.asarray(window)
-    return kfft.rfft(frames)
+    return kfft.rfft(frames, window=window)
 
 
 def istft_frames(spectra: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
     """Inverse transform + synthesis windowing; OLA is a separate stage.
 
     [..., T, F] complex → [..., T, L] real, each frame multiplied by the
-    synthesis window.  Overlap-add (mcax.frames.ola) completes resynthesis.
+    synthesis window (folded into the inverse-DFT matrix on matmul
+    backends).  Overlap-add (mcax.frames.ola) completes resynthesis.
     """
     frame_len = int(window.shape[0])
-    frames = kfft.irfft(spectra, frame_len)
-    return frames * jnp.asarray(window)
+    return kfft.irfft(spectra, frame_len, window=window)

@@ -46,11 +46,23 @@ def _cps_phat_kernel(eps, ar_ref, ai_ref, br_ref, bi_ref, gr_ref, gi_ref):
     gi_ref[...] = gi * w
 
 
+def _pick_rows(b: int, f_pad: int, vmem_budget=8 * 2 ** 20) -> int:
+    """Row-tile size against the 16 MiB scoped-VMEM limit: 6 resident
+    [tb, f_pad] fp32 planes (4 in + 2 out), each double-buffered by the
+    Pallas pipeline.  The budget is deliberately conservative (half the
+    limit): Mosaic's stack accounting charges more than the raw plane
+    bytes (measured 18.2 MiB where this model said 13.8)."""
+    tb = min(_round_up(b, _SUBLANE), 1024)
+    while tb > _SUBLANE and 4 * 2 * 6 * tb * f_pad > vmem_budget:
+        tb -= _SUBLANE
+    return tb
+
+
 def _cps_phat_pallas(ar, ai, br, bi, eps: float):
     """[B, F] float32 planes -> PHAT-weighted CPS planes. Padded to lanes."""
     b, f = ar.shape
     f_pad = _round_up(f, _LANE)
-    tb = min(_round_up(b, _SUBLANE), 1024)
+    tb = _pick_rows(b, f_pad)
     b_pad = _round_up(b, tb)
     def pad(x):
         return jnp.pad(x, ((0, b_pad - b), (0, f_pad - f)))
@@ -89,6 +101,24 @@ def phat_weight(cps: jnp.ndarray, eps: float = DEFAULT_PHAT_EPS) -> jnp.ndarray:
     return cps / (mag + jnp.asarray(eps, mag.dtype))
 
 
+def cps_phat_pairs(xi: jnp.ndarray, xj: jnp.ndarray,
+                   eps: float = DEFAULT_PHAT_EPS) -> jnp.ndarray:
+    """PHAT-weighted cross-power of already-gathered pair spectra.
+
+    xi, xj: complex64 [..., F] (any leading layout — the caller chooses the
+    output layout by how it gathered the pairs).  Fused VPU kernel on the
+    Pallas backend, one XLA fusion otherwise.
+    """
+    if dispatch.use_pallas():
+        *lead, f = xi.shape
+        b = int(np.prod(lead)) if lead else 1
+        gr, gi = _cps_phat_pallas(
+            jnp.real(xi).reshape(b, f), jnp.imag(xi).reshape(b, f),
+            jnp.real(xj).reshape(b, f), jnp.imag(xj).reshape(b, f), eps)
+        return jax.lax.complex(gr, gi).reshape(*lead, f)
+    return phat_weight(xi * jnp.conj(xj), eps)
+
+
 def cps_phat(spectra: jnp.ndarray, pairs: np.ndarray,
              eps: float = DEFAULT_PHAT_EPS,
              weighted: bool = True) -> jnp.ndarray:
@@ -98,19 +128,13 @@ def cps_phat(spectra: jnp.ndarray, pairs: np.ndarray,
     On the Pallas backend the complex multiply + magnitude + reciprocal run
     as one fused VPU kernel over the gathered pair planes.
     """
-    if weighted and dispatch.use_pallas():
+    if weighted:
         i = jnp.asarray(pairs[:, 0])
         j = jnp.asarray(pairs[:, 1])
         xi = jnp.take(spectra, i, axis=-3)
         xj = jnp.take(spectra, j, axis=-3)
-        *lead, p, t, f = xi.shape
-        b = int(np.prod([*lead, p, t])) if (lead or p or t) else 1
-        gr, gi = _cps_phat_pallas(
-            jnp.real(xi).reshape(b, f), jnp.imag(xi).reshape(b, f),
-            jnp.real(xj).reshape(b, f), jnp.imag(xj).reshape(b, f), eps)
-        return jax.lax.complex(gr, gi).reshape(*lead, p, t, f)
-    g = cross_power(spectra, pairs)
-    return phat_weight(g, eps) if weighted else g
+        return cps_phat_pairs(xi, xj, eps)
+    return cross_power(spectra, pairs)
 
 
 def cps_weighted(spectra: jnp.ndarray, pairs: np.ndarray,

@@ -45,28 +45,53 @@ def _round_up(x: int, m: int) -> int:
 # Host-side DFT matrix precompute (float64 → float32, cached per size).
 # ---------------------------------------------------------------------------
 
+# Windows folded into the DFT matrices are registered host-side and keyed by
+# content hash (lru_cache needs hashable keys; np arrays aren't).
+_WINDOW_REGISTRY: dict = {}
+
+
+def _register_window(window) -> str:
+    if window is None:
+        return ""
+    w = np.asarray(window, np.float64)
+    key = hashlib_sha1(w.tobytes())
+    _WINDOW_REGISTRY.setdefault(key, w)
+    return key
+
+
+def hashlib_sha1(b: bytes) -> str:
+    import hashlib
+    return hashlib.sha1(b).hexdigest()
+
+
 @functools.lru_cache(maxsize=None)
-def _fwd_matrices(n: int, f_pad: int):
-    """Forward real-DFT matrices W st. X = x @ (Wr + j Wi), shapes [N, Fp]."""
+def _fwd_matrices(n: int, f_pad: int, win_key: str = ""):
+    """Forward real-DFT matrices W st. X = (x·win) @ (Wr + j Wi), [N, Fp].
+
+    An analysis window folds into the matrix rows (diag(win) @ W), so the
+    windowing costs nothing at run time — one fewer full pass over the
+    frame tensor."""
     f = n // 2 + 1
     k = np.arange(f)[None, :]                     # [1, F]
     t = np.arange(n)[:, None]                     # [N, 1]
     ang = -2.0 * np.pi * k * t / n
+    win = (_WINDOW_REGISTRY[win_key][:, None] if win_key
+           else np.ones((n, 1)))
     wr = np.zeros((n, f_pad), np.float64)
     wi = np.zeros((n, f_pad), np.float64)
-    wr[:, :f] = np.cos(ang)
-    wi[:, :f] = np.sin(ang)
+    wr[:, :f] = np.cos(ang) * win
+    wi[:, :f] = np.sin(ang) * win
     return wr.astype(np.float32), wi.astype(np.float32)
 
 
 @functools.lru_cache(maxsize=None)
-def _inv_matrices(n: int, f_pad: int):
+def _inv_matrices(n: int, f_pad: int, win_key: str = ""):
     """Inverse matrices A st. x = Yre @ Ar + Yim @ Ai, shapes [Fp, N].
 
     Hermitian-symmetry expansion of the length-N inverse DFT of a half
     spectrum: x[t] = (1/N) [X0 + 2 sum_{k=1}^{N/2-1} (Xr cos - Xi sin)
-    + X_{N/2} cos(pi t)].
-    """
+    + X_{N/2} cos(pi t)].  A synthesis window folds into the matrix
+    columns (A @ diag(win))."""
     f = n // 2 + 1
     k = np.arange(f)[:, None]                     # [F, 1]
     t = np.arange(n)[None, :]                     # [1, N]
@@ -74,10 +99,12 @@ def _inv_matrices(n: int, f_pad: int):
     alpha = np.full((f, 1), 2.0)
     alpha[0, 0] = 1.0
     alpha[-1, 0] = 1.0 if n % 2 == 0 else 2.0
+    win = (_WINDOW_REGISTRY[win_key][None, :] if win_key
+           else np.ones((1, n)))
     ar = np.zeros((f_pad, n), np.float64)
     ai = np.zeros((f_pad, n), np.float64)
-    ar[:f] = alpha * np.cos(ang) / n
-    ai[:f] = -alpha * np.sin(ang) / n
+    ar[:f] = alpha * np.cos(ang) / n * win
+    ai[:f] = -alpha * np.sin(ang) / n * win
     return ar.astype(np.float32), ai.astype(np.float32)
 
 
@@ -128,11 +155,11 @@ def _pick_tiles(b: int, k: int, n_out: int, vmem_budget=14 * 2 ** 20):
     return tb_cands[-1], tn_cands[-1]
 
 
-def _rdft_pallas(x2d: jnp.ndarray, n: int):
+def _rdft_pallas(x2d: jnp.ndarray, n: int, win_key: str = ""):
     b = x2d.shape[0]
     f = n // 2 + 1
     f_pad = _round_up(f, _LANE)
-    wr, wi = _fwd_matrices(n, f_pad)
+    wr, wi = _fwd_matrices(n, f_pad, win_key)
     tb, tf = _pick_tiles(b, n, f_pad)
     b_pad = _round_up(b, tb)
     if b_pad != b:
@@ -161,10 +188,11 @@ def _rdft_pallas(x2d: jnp.ndarray, n: int):
     return yr[:b, :f], yi[:b, :f]
 
 
-def _irdft_pallas(yr2d: jnp.ndarray, yi2d: jnp.ndarray, n: int):
+def _irdft_pallas(yr2d: jnp.ndarray, yi2d: jnp.ndarray, n: int,
+                  win_key: str = ""):
     b, f = yr2d.shape
     f_pad = _round_up(f, _SUBLANE)
-    ar, ai = _inv_matrices(n, f_pad)
+    ar, ai = _inv_matrices(n, f_pad, win_key)
     tb, tn = _pick_tiles(b, f_pad, n)
     b_pad = _round_up(b, tb)
     if f_pad != f:
@@ -205,16 +233,16 @@ _PREC = jax.lax.Precision.HIGHEST     # keep the DFT in true fp32 on the MXU
                                       # which would cost ~40 dB of FFT SNR)
 
 
-def rfft_matmul(x: jnp.ndarray) -> jnp.ndarray:
+def rfft_matmul(x: jnp.ndarray, window=None) -> jnp.ndarray:
     n = x.shape[-1]
-    wr, wi = _fwd_matrices(n, n // 2 + 1)
+    wr, wi = _fwd_matrices(n, n // 2 + 1, _register_window(window))
     x = x.astype(jnp.float32)
     return jax.lax.complex(jnp.dot(x, wr, precision=_PREC),
                            jnp.dot(x, wi, precision=_PREC))
 
 
-def irfft_matmul(y: jnp.ndarray, n: int) -> jnp.ndarray:
-    ar, ai = _inv_matrices(n, y.shape[-1])
+def irfft_matmul(y: jnp.ndarray, n: int, window=None) -> jnp.ndarray:
+    ar, ai = _inv_matrices(n, y.shape[-1], _register_window(window))
     return (jnp.dot(jnp.real(y).astype(jnp.float32), ar, precision=_PREC)
             + jnp.dot(jnp.imag(y).astype(jnp.float32), ai, precision=_PREC))
 
@@ -223,24 +251,37 @@ def irfft_matmul(y: jnp.ndarray, n: int) -> jnp.ndarray:
 # Public API
 # ---------------------------------------------------------------------------
 
-def rfft(x: jnp.ndarray) -> jnp.ndarray:
-    """Real FFT over the last axis: [..., N] float → [..., N//2+1] complex64."""
+def rfft(x: jnp.ndarray, window=None) -> jnp.ndarray:
+    """Real FFT over the last axis: [..., N] float → [..., N//2+1] complex64.
+
+    ``window`` (optional [N] host array) is an analysis window applied to
+    every frame; on the matmul-DFT paths it folds into the DFT matrix for
+    free, on the XLA-FFT path it is one explicit multiply."""
     n = x.shape[-1]
     if dispatch.use_pallas():
         lead = x.shape[:-1]
         b = int(np.prod(lead)) if lead else 1
-        yr, yi = _rdft_pallas(x.reshape(b, n).astype(jnp.float32), n)
+        yr, yi = _rdft_pallas(x.reshape(b, n).astype(jnp.float32), n,
+                              _register_window(window))
         return jax.lax.complex(yr, yi).reshape(*lead, n // 2 + 1)
+    if window is not None:
+        x = x * jnp.asarray(window, jnp.float32)
     return jnp.fft.rfft(x.astype(jnp.float32)).astype(jnp.complex64)
 
 
-def irfft(y: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Inverse real FFT over the last axis: [..., F] complex → [..., n] float32."""
+def irfft(y: jnp.ndarray, n: int, window=None) -> jnp.ndarray:
+    """Inverse real FFT over the last axis: [..., F] complex → [..., n]
+    float32.  ``window`` (optional [n]) is a synthesis window applied to
+    every output frame (folded into the inverse matrix on matmul paths)."""
     if dispatch.use_pallas():
         lead = y.shape[:-1]
         b = int(np.prod(lead)) if lead else 1
         f = y.shape[-1]
         x = _irdft_pallas(jnp.real(y).reshape(b, f).astype(jnp.float32),
-                          jnp.imag(y).reshape(b, f).astype(jnp.float32), n)
+                          jnp.imag(y).reshape(b, f).astype(jnp.float32), n,
+                          _register_window(window))
         return x.reshape(*lead, n)
-    return jnp.fft.irfft(y, n=n).astype(jnp.float32)
+    out = jnp.fft.irfft(y, n=n).astype(jnp.float32)
+    if window is not None:
+        out = out * jnp.asarray(window, jnp.float32)
+    return out

@@ -45,14 +45,35 @@ def _steer_kernel(gr_ref, gi_ref, er_ref, ei_ref, out_ref):
     )
 
 
+def _pick_tiles(b: int, k: int, g: int, vmem_budget=8 * 2 ** 20):
+    """(tb, tk, tg) against the 16 MiB scoped-VMEM limit.  Resident fp32:
+    two [tb, tk] inputs, two [tk, tg] steering tiles, one [tb, tg] output,
+    all double-buffered by the pipeline; the budget is conservative (half
+    the limit) because Mosaic's stack accounting charges above the raw
+    plane bytes.  Shrink tk first — K is the streamed accumulation axis,
+    so smaller tk only adds grid steps, not extra HBM traffic."""
+    tb = min(_round_up(b, _SUBLANE), 256)
+    tg = min(_round_up(g, _LANE), 512)
+    tk = min(_round_up(k, _LANE), 2048)
+
+    def cost(tb_, tk_, tg_):
+        return 4 * 2 * (2 * tb_ * tk_ + 2 * tk_ * tg_ + tb_ * tg_)
+
+    while cost(tb, tk, tg) > vmem_budget and tk > 512:
+        tk //= 2
+    while cost(tb, tk, tg) > vmem_budget and tb > 64:
+        tb //= 2
+    while cost(tb, tk, tg) > vmem_budget and tg > _LANE:
+        tg //= 2
+    return tb, tk, tg
+
+
 def _srp_power_pallas(gr: jnp.ndarray, gi: jnp.ndarray,
                       e_re: jnp.ndarray, e_im: jnp.ndarray) -> jnp.ndarray:
     """gr/gi [B, K] @ e [K, G] -> power [B, G], tiled with K-accumulation."""
     b, k = gr.shape
     g = e_re.shape[1]
-    tb = min(_round_up(b, _SUBLANE), 256)
-    tg = min(_round_up(g, _LANE), 512)
-    tk = min(_round_up(k, _LANE), 2048)
+    tb, tk, tg = _pick_tiles(b, k, g)
     b_pad, g_pad, k_pad = _round_up(b, tb), _round_up(g, tg), _round_up(k, tk)
     gr = jnp.pad(gr, ((0, b_pad - b), (0, k_pad - k)))
     gi = jnp.pad(gi, ((0, b_pad - b), (0, k_pad - k)))
@@ -106,6 +127,19 @@ def steering_matrices(geom: geo.ArrayGeometry, azimuths_rad: np.ndarray,
             np.sin(phase).astype(np.float32))
 
 
+def srp_power_flat(gr: jnp.ndarray, gi: jnp.ndarray, e_re: jnp.ndarray,
+                   e_im: jnp.ndarray) -> jnp.ndarray:
+    """Steered power from pre-flattened CPS planes [..., T, P*F]."""
+    *lead, t, k = gr.shape
+    er = jnp.asarray(e_re)
+    ei = jnp.asarray(e_im)
+    if dispatch.use_pallas():
+        b = int(np.prod([*lead, t])) if (lead or t) else 1
+        out = _srp_power_pallas(gr.reshape(b, k), gi.reshape(b, k), er, ei)
+        return out.reshape(*lead, t, er.shape[-1])
+    return gr @ er - gi @ ei
+
+
 def srp_power(g_phat: jnp.ndarray, e_re: jnp.ndarray,
               e_im: jnp.ndarray) -> jnp.ndarray:
     """Steered response power.
@@ -122,11 +156,4 @@ def srp_power(g_phat: jnp.ndarray, e_re: jnp.ndarray,
     # [..., P, T, F] -> [..., T, P*F]
     gr = jnp.moveaxis(gr, -2, -3).reshape(*lead, t, p * f)
     gi = jnp.moveaxis(gi, -2, -3).reshape(*lead, t, p * f)
-    er = jnp.asarray(e_re)
-    ei = jnp.asarray(e_im)
-    if dispatch.use_pallas():
-        b = int(np.prod([*lead, t])) if (lead or t) else 1
-        out = _srp_power_pallas(gr.reshape(b, p * f), gi.reshape(b, p * f),
-                                er, ei)
-        return out.reshape(*lead, t, er.shape[-1])
-    return gr @ er - gi @ ei
+    return srp_power_flat(gr, gi, e_re, e_im)

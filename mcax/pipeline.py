@@ -48,7 +48,7 @@ class Pipeline:
     """A jit-compiled streaming block processor for one PipelineConfig."""
 
     def __init__(self, cfg: cfg_mod.PipelineConfig, jit: bool = True,
-                 donate: bool = True):
+                 donate: bool = True, scan_mode: str = "batched"):
         from mcax.utils import cache as _cache
         _cache.enable()
         self.cfg = cfg
@@ -82,7 +82,10 @@ class Pipeline:
         if jit:
             step = jax.jit(step, donate_argnums=(0,) if donate else ())
         self._step = step
-        many = self._blocks_scan
+        if scan_mode not in ("batched", "scan"):
+            raise ValueError(f"scan_mode must be batched|scan, got {scan_mode!r}")
+        many = (self._blocks_batched if scan_mode == "batched"
+                else self._blocks_scan)
         if jit:
             many = jax.jit(many, donate_argnums=(0,) if donate else ())
         self._many = many
@@ -133,15 +136,23 @@ class Pipeline:
 
     def process_blocks(self, state: PipelineState, samples) -> Tuple[
             PipelineState, Dict[str, jnp.ndarray]]:
-        """Throughput mode: run B sequential blocks in ONE dispatch.
+        """Throughput mode: run B consecutive blocks in ONE dispatch.
 
         Args:
           samples: [B, C, block_len] — B consecutive blocks.
         Returns:
-          (state, outs) where each out leaf gains a leading B axis.  Bit-
-          identical to B process_block calls (lax.scan carries the same
-          state recursion); amortises the per-dispatch host overhead, which
-          dominates at these block sizes (PERF.md).
+          (state, outs) where each out leaf gains a leading B axis; matches
+          B process_block calls to float tolerance.
+
+        Default mode is BATCHED (``Pipeline(..., scan_mode="batched")``):
+        framing/FFT/CPS/SRP run over all B·T frames as one MXU batch and the
+        only sequential recursions — covariance (via its associative monoid),
+        tracking, and the OLA/carry seams (plain reshapes of the contiguous
+        stream) — are factored out.  A per-block ``lax.scan`` of the whole
+        step (mode "scan") keeps the MXU matmuls at T rows per step (T=24
+        for config4 — mostly padding) and serialises everything; batching
+        is the TPU-native shape.  "scan" remains available as the
+        bit-reference for the recursion order.
         """
         samples = jnp.asarray(samples, jnp.float32)
         expect = (self.geom.num_mics, self.cfg.block_len)
@@ -152,6 +163,179 @@ class Pipeline:
 
     def _blocks_scan(self, state: PipelineState, samples: jnp.ndarray):
         return jax.lax.scan(self._block_step, state, samples)
+
+    # ------------------------------------------------------------------
+    # Batched throughput mode: one fused step over B consecutive blocks.
+    # ------------------------------------------------------------------
+    def _blocks_batched(self, state: PipelineState, samples: jnp.ndarray):
+        cfg = self.cfg
+        hop = cfg.stft.hop
+        b, c, block_len = samples.shape
+        t = cfg.frames_per_block
+        bt = b * t
+
+        flat = jnp.moveaxis(samples, 1, 0).reshape(c, b * block_len)
+        x = jnp.concatenate([state.carry, flat], axis=-1)
+        new_carry = x[:, bt * hop:]
+        spectra = stft_mod.stft(x, self.win_a, hop)          # [C, B*T, F]
+        # frames tile the concatenated stream exactly as the sequential
+        # carry+block framing does, so spectra match the scan mode's
+
+        algo = cfg.algo.name
+        out: Dict[str, jnp.ndarray] = {}
+        new_tail, new_tracks = state.ola_tail, state.tracks
+        cov0 = None if state.cov is None else cov_mod.from_planes(state.cov)
+        new_cov = cov0
+
+        def per_block(a):
+            """[..., B*T] → [B, ..., T] (split the frame axis into blocks)."""
+            r = a.reshape(*a.shape[:-1], b, t)
+            return jnp.moveaxis(r, -2, 0)
+
+        def spectra_blocks():
+            """[C, B*T, F] → [B, C, T, F]."""
+            r = spectra.reshape(c, b, t, spectra.shape[-1])
+            return jnp.moveaxis(r, 1, 0)
+
+        def block_covs(steer_shape_lead=None):
+            """Prefix covariances per block via the associative monoid
+            (R_b = d_b R_{b-1} + p_b  ⇒  R_b = D_b R_0 + P_b)."""
+            decays, partials = jax.vmap(
+                lambda s: cov_mod.block_stats(s, cfg.algo.cov_forget)
+            )(spectra_blocks())                              # [B], [B,F,C,C]
+
+            def combine(lhs, rhs):
+                d1, p1 = lhs
+                d2, p2 = rhs
+                return d1 * d2, d2[..., None, None, None].astype(p1.dtype) * p1 + p2
+
+            dpre, ppre = jax.lax.associative_scan(combine, (decays, partials))
+            return dpre[:, None, None, None].astype(cov0.dtype) * cov0 + ppre
+
+        def resynth_stream(y):
+            """y [..., B*T, F] → (out [B, ..., T*hop], new_tail): OLA over
+            the whole contiguous frame stream, then split per block."""
+            frames = stft_mod.istft_frames(y, self.win_s)    # [..., B*T, L]
+            full, tail = streaming_overlap_add(frames, hop, state.ola_tail)
+            o = full.reshape(*full.shape[:-1], b, t * hop)
+            return jnp.moveaxis(o, -2, 0), tail
+
+        if algo == "gcc":
+            if cfg.algo.gcc_bands:
+                res = gcc.gcc_phat_multiband(
+                    spectra, self.pairs, self.gcc_plan, self._gcc_band_masks,
+                    eps=cfg.algo.phat_eps, interpolate=cfg.algo.interpolate,
+                    weighting=cfg.algo.gcc_weighting)
+                out = {"tdoa": per_block(res["tdoa_fused"]),
+                       "doa": per_block(res["doa_fused"]),
+                       "tdoa_band": per_block(res["tdoa"]),
+                       "peak_band": per_block(res["peak"]),
+                       "peak": per_block(jnp.max(res["peak"], axis=0))}
+            else:
+                res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
+                                         eps=cfg.algo.phat_eps,
+                                         interpolate=cfg.algo.interpolate,
+                                         weighting=cfg.algo.gcc_weighting)
+                out = {"tdoa": per_block(res["tdoa"]),
+                       "doa": per_block(res["doa"]),
+                       "peak": per_block(res["peak"])}
+
+        elif algo == "delaysum":
+            y = delaysum.beamform(spectra, jnp.asarray(self.fixed_steer))
+            out["audio"], new_tail = resynth_stream(y)
+
+        elif algo == "mask":
+            y = masking.mask_block(spectra, jnp.asarray(self.mask_phase),
+                                   cfg.algo.mask_threshold_rad,
+                                   cfg.algo.mask_sharpness)
+            out["audio"], new_tail = resynth_stream(y)
+
+        elif algo == "srp":
+            power = srp.srp_surface(spectra, self.pairs, self.srp_plan,
+                                    eps=cfg.algo.phat_eps)   # [B*T, G]
+            az, pk = srp.argmax_doa(power, self.srp_plan,
+                                    interpolate=cfg.algo.srp_interpolate)
+            out = {"doa": per_block(az), "power": per_block(pk)}
+
+        elif algo == "srp_delaysum":
+            power = srp.srp_surface(spectra, self.pairs, self.srp_plan,
+                                    eps=cfg.algo.phat_eps)
+            pmean = jnp.mean(power.reshape(b, t, -1), axis=1)  # [B, G]
+            gidx = jnp.argmax(pmean, axis=-1)                  # [B]
+            steer = srp.steering_vector(self.srp_plan, gidx)   # [B, C, F]
+            y = delaysum.beamform(spectra_blocks(), steer)     # [B, T, F]
+            out["audio"], new_tail = resynth_stream(
+                y.reshape(bt, y.shape[-1]))
+            out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
+                                     jnp.float32)[gidx]
+
+        elif algo == "mvdr":
+            covs = block_covs()                                # [B, F, C, C]
+            new_cov = covs[-1]
+            steer = jnp.asarray(self.fixed_steer)
+            w = jax.vmap(lambda r: mvdr.weights(r, steer,
+                                                cfg.algo.diag_load))(covs)
+            y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)   # [B, T, F]
+            out["audio"], new_tail = resynth_stream(
+                y.reshape(bt, y.shape[-1]))
+
+        elif algo == "srp_mvdr":
+            power = srp.srp_surface(spectra, self.pairs, self.srp_plan,
+                                    eps=cfg.algo.phat_eps)
+            pmean = jnp.mean(power.reshape(b, t, -1), axis=1)  # [B, G]
+            gidx = jnp.argmax(pmean, axis=-1)
+            steer = srp.steering_vector(self.srp_plan, gidx)   # [B, C, F]
+            covs = block_covs()
+            new_cov = covs[-1]
+            w = jax.vmap(lambda r, s: mvdr.weights(r, s, cfg.algo.diag_load)
+                         )(covs, steer)                        # [B, C, F]
+            y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)   # [B, T, F]
+            out["audio"], new_tail = resynth_stream(
+                y.reshape(bt, y.shape[-1]))
+            out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
+                                     jnp.float32)[gidx]
+            az_f, _ = srp.argmax_doa(power, self.srp_plan,
+                                     interpolate=cfg.algo.srp_interpolate)
+            out["doa_frame"] = per_block(az_f)
+
+        elif algo == "track_mvdr":
+            power = srp.srp_surface(spectra, self.pairs, self.srp_plan,
+                                    eps=cfg.algo.phat_eps)
+            pmean = jnp.mean(power.reshape(b, t, -1), axis=1)  # [B, G]
+            az_grid = jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32)
+
+            def track_step(tr, pm):
+                new_tr, gi = tracking.track_block(
+                    tr, pm, az_grid, self.suppress_bins,
+                    cfg.algo.track_smooth)
+                return new_tr, (gi, new_tr.angles_rad, new_tr.confidence)
+
+            new_tracks, (gidx, angles, conf) = jax.lax.scan(
+                track_step, state.tracks, pmean)               # [B, S] each
+            steer = srp.steering_vector(self.srp_plan, gidx)   # [B, S, C, F]
+            covs = block_covs()
+            new_cov = covs[-1]
+            w = jax.vmap(lambda r, s: mvdr.weights(r, s, cfg.algo.diag_load)
+                         )(covs, steer)                        # [B, S, C, F]
+            y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)   # [B, S, T, F]
+            # per-source contiguous frame streams: [S, B*T, F]
+            y_s = jnp.moveaxis(y, 1, 0).reshape(
+                y.shape[1], bt, y.shape[-1])
+            audio_s, new_tail = resynth_stream(y_s)            # [B, S, T*hop]
+            out["audio"] = audio_s
+            out["doa"] = angles
+            out["confidence"] = conf
+
+        else:
+            raise ValueError(f"unknown algo {algo!r}")
+
+        new_cov_planes = (state.cov if new_cov is cov0 or new_cov is None
+                          else cov_mod.to_planes(new_cov))
+        new_state = PipelineState(carry=new_carry,
+                                  block_idx=state.block_idx + b,
+                                  ola_tail=new_tail, cov=new_cov_planes,
+                                  tracks=new_tracks)
+        return new_state, out
 
     # ------------------------------------------------------------------
     # Data-parallel multi-stream mode (SURVEY.md §2a C14 "DP"): S
@@ -205,7 +389,10 @@ class Pipeline:
                     interpolate=cfg.algo.interpolate,
                     weighting=cfg.algo.gcc_weighting)
                 out = {"tdoa": res["tdoa_fused"], "doa": res["doa_fused"],
-                       "tdoa_band": res["tdoa"], "peak": res["peak"]}
+                       "tdoa_band": res["tdoa"], "peak_band": res["peak"],
+                       # keep "peak" [P, T] like the full-band path (CLI
+                       # and downstream consumers are shape-stable)
+                       "peak": jnp.max(res["peak"], axis=0)}
             else:
                 res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
                                          eps=cfg.algo.phat_eps,

@@ -93,3 +93,32 @@ def test_parity_tool_doa(tmp_path):
         f.write(hdr + "0,0,11.0,1\n0,1,179.0,1\n")   # wraps: 2 deg apart
     assert parity_tool.doa_error_deg(pa, pb) == pytest.approx(1.5)
     assert parity_tool.main(["--doa", pa, pb, "--max-deg", "2"]) == 0
+
+def test_config_overrides():
+    cfg = cfg_mod.apply_overrides(cfg_mod.get_config("config1"),
+                          ["algo.gcc_bands=4", "block_len=8192",
+                           "algo.band_hz=300,3400", "algo.interpolate=false"])
+    assert cfg.algo.gcc_bands == 4
+    assert cfg.block_len == 8192
+    assert cfg.algo.band_hz == (300.0, 3400.0)
+    assert cfg.algo.interpolate is False
+    with pytest.raises(ValueError):
+        cfg_mod.apply_overrides(cfg, ["algo.not_a_field=1"])
+    with pytest.raises(ValueError):
+        cfg_mod.apply_overrides(cfg, ["algo.gcc_bands"])
+
+
+def test_cli_set_override(tmp_path):
+    """--set flows into the pipeline: gcc with 3 sub-bands end to end."""
+    cfg = cfg_mod.get_config("config1")
+    g = cfg.geometry()
+    x = helpers.array_signals(g, np.deg2rad(30.0), cfg.block_len * 2, seed=4)
+    wav_path = tmp_path / "in.wav"
+    write_wav(str(wav_path), cfg.sample_rate, x)
+    doa_path = tmp_path / "doa.csv"
+    rc = cli_run.main([str(wav_path), "--config", "config1",
+                   "--set", "algo.gcc_bands=3",
+                   "--doa-out", str(doa_path)])
+    assert rc == 0
+    rows = doa_path.read_text().strip().splitlines()
+    assert len(rows) > 1          # header + per-frame rows

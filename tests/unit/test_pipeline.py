@@ -181,6 +181,7 @@ def test_gcc_multiband_pipeline():
         state, out = pipe._block_step(
             state, jnp.asarray(x[:, b*cfg.block_len:(b+1)*cfg.block_len]))
         assert out["tdoa_band"].shape[0] == 5
+        assert out["peak"].shape == out["tdoa"].shape
         doas.append(np.asarray(out["doa"]))
     est = np.rad2deg(np.median(np.concatenate(doas, axis=-1)[0, 4:]))
     assert abs(est - 55.0) < 3.0, est

@@ -71,3 +71,47 @@ def test_streams_shape_validation():
     with pytest.raises(ValueError, match="expected samples"):
         pipe.process_streams(pipe.init_states(2),
                              np.zeros((2, cfg.block_len), np.float32))
+
+
+@pytest.mark.parametrize("name,key,tol", [
+    ("config1", "tdoa", 1e-6),
+    ("config2", "audio", 2e-5),
+    ("config3", "doa", 1e-6),
+    ("config4", "audio", 5e-4),
+    ("config5", "audio", 5e-4),
+])
+def test_batched_matches_scan(name, key, tol):
+    """Batched throughput mode (one fused B*T-frame step) matches the
+    per-block lax.scan reference mode for every config.  MVDR configs get a
+    looser bound: the covariance prefix is built by the associative monoid
+    (reassociated float sums) and then amplified through the solve."""
+    cfg = cfg_mod.get_config(name)
+    g = cfg.geometry()
+    nb = 4
+    x = helpers.array_signals(g, np.deg2rad(35.0), cfg.block_len * nb, seed=2)
+    blocks = x.reshape(g.num_mics, nb, cfg.block_len).transpose(1, 0, 2)
+
+    ref = Pipeline(cfg, donate=False, scan_mode="scan")
+    st1 = ref.init_state()
+    st1, out_scan = ref.process_blocks(st1, blocks)
+
+    bat = Pipeline(cfg, donate=False, scan_mode="batched")
+    st2 = bat.init_state()
+    st2, out_bat = bat.process_blocks(st2, blocks)
+
+    a, r = np.asarray(out_scan[key]), np.asarray(out_bat[key])
+    assert a.shape == r.shape, (a.shape, r.shape)
+    np.testing.assert_allclose(r, a, atol=tol, rtol=tol)
+    np.testing.assert_array_equal(np.asarray(st2.carry), np.asarray(st1.carry))
+    np.testing.assert_equal(int(st2.block_idx), int(st1.block_idx))
+    if st1.cov is not None:
+        np.testing.assert_allclose(np.asarray(st2.cov), np.asarray(st1.cov),
+                                   atol=1e-4, rtol=1e-4)
+    if st1.ola_tail is not None:
+        np.testing.assert_allclose(np.asarray(st2.ola_tail),
+                                   np.asarray(st1.ola_tail),
+                                   atol=tol, rtol=tol)
+    if st1.tracks is not None:
+        np.testing.assert_allclose(np.asarray(st2.tracks.angles_rad),
+                                   np.asarray(st1.tracks.angles_rad),
+                                   atol=1e-5)

@@ -61,27 +61,34 @@ def _probe(tree) -> jnp.ndarray:
     return total
 
 
-def fenced_timeit(fn, x, iters=30, warmup=2):
-    """Time ``fn(x)`` per-iteration with chained dispatches + a real fence.
+def fenced_timeit(fn, x, iters=32, reps=3):
+    """Time ``fn(x)`` per-application, fenced and dispatch-amortised.
 
-    fn: float array -> any pytree.  Returns seconds/iteration including the
-    probe reduction (sum|.| over outputs) but amortising dispatch latency.
+    Runs ``iters`` chained applications *inside one jit* (lax.scan whose
+    carry perturbs the input, so iterations are data-dependent and cannot
+    be hoisted/CSE'd), repeats the dispatch ``reps`` times chained through
+    the carry, and fences once with a real scalar fetch.  The per-dispatch
+    tunnel round-trip (~1 ms+) is amortised over reps*iters applications;
+    the probe reduction (sum|.| over outputs) is included — numbers are
+    slightly conservative.
     """
 
     @jax.jit
-    def step(x, c):
-        out = fn(x + c * jnp.float32(1e-30))
-        return _probe(out) * jnp.float32(1e-30)
+    def many(x, c):
+        def body(c, _):
+            out = fn(x + c * jnp.float32(1e-30))
+            return _probe(out) * jnp.float32(1e-30), None
+        c, _ = jax.lax.scan(body, c, None, length=iters)
+        return c
 
     c = jnp.float32(0.0)
-    for _ in range(warmup):
-        c = step(x, c)
+    c = many(x, c)
     float(c)                                   # fence warmup/compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        c = step(x, c)
+    for _ in range(reps):
+        c = many(x, c)
     float(c)                                   # fence: real scalar fetch
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / (reps * iters)
 
 
 def bench_fft(n=512, batch=8192):
