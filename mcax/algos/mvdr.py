@@ -3,14 +3,13 @@
 w[f] = R[f]^{-1} d[f] / (d[f]^H R[f]^{-1} d[f]) per bin, applied to every
 frame of the block: Y[t, f] = w[f]^H X[:, t, f].
 
-Numerics (SURVEY.md §7.4 "MVDR numerics"): the complex Hermitian solve runs
-as an equivalent REAL symmetric-positive-definite system of twice the size,
-
-    [[Rr, -Ri], [Ri, Rr]] [yr; yi] = [dr; di],
-
-because complex Cholesky is not reliably lowered on TPU while real Cholesky
-is; fp32 everywhere (never bf16 in the solve), diagonal loading applied
-before factorisation, validated against numpy complex solves in fp64.
+Numerics (SURVEY.md §7.4 "MVDR numerics"): the complex Hermitian solve is an
+unrolled complex Cholesky L L^H built from batch-vectorized elementwise ops
+(stock ``lax.linalg.cholesky`` stalls this backend's compiler at the shipped
+batch sizes, and complex64 exists only *inside* the jitted step — XLA lowers
+it to fp32 re/im VPU pairs, never the bf16 MXU path); fp32 everywhere in the
+solve, diagonal loading applied before factorisation, validated against
+numpy complex solves in fp64.
 """
 
 from __future__ import annotations
@@ -22,56 +21,55 @@ import numpy as np
 from mcax.algos import covariance as cov_mod
 
 
-def _cholesky_unrolled(a: jnp.ndarray) -> jnp.ndarray:
-    """Batched Cholesky of tiny SPD matrices by static column unroll.
+def _cholesky_complex_unrolled(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched complex Cholesky a = L L^H by static right-looking unroll.
 
-    a: [..., n, n] float32 SPD → lower-triangular L with a = L L^T.
-
-    n is small (2*C <= 32), so an unrolled sweep of batch-vectorized VPU ops
-    both compiles fast and runs fast on TPU, whereas the stock
-    ``lax.linalg.cholesky`` lowering stalls this backend's compiler at the
-    shipped batch sizes ([513, 16, 16] never finishes compiling).
-
-    Right-looking outer-product form: each step extracts one column from the
-    running residual and subtracts its outer product — elementwise ops only.
-    No ``.at[].set`` updates of L (a dynamic-update-slice per column made
-    XLA copy the whole batched tensor n times: ~1 GB of pure copy traffic at
-    config4's batched shapes) and no dot/einsum contractions (TPU defaults
-    them to bf16 passes, whose error can push the residual diagonal negative
-    and blow up the substitution).
-    """
+    n is small (C <= 16), so an unrolled sweep of batch-vectorized VPU ops
+    both compiles fast and runs fast on TPU (the stock lax.linalg.cholesky
+    lowering stalls this backend's compiler at the shipped batch sizes).
+    Each step extracts one column from the running residual and subtracts
+    its outer product — elementwise ops only: no ``.at[].set`` of L (a
+    dynamic-update-slice per column made XLA copy the whole batched tensor
+    n times) and no dot/einsum contractions (TPU defaults them to bf16
+    passes, whose error can push the residual diagonal negative).  Complex
+    arithmetic rather than the doubled [2C, 2C] real embedding: n steps on
+    [..., n, n] complex instead of 2n steps on 4x the elements — ~4x less
+    memory traffic, which dominates at config5's batched shapes."""
     n = a.shape[-1]
     resid = a
     cols = []
-    row_ge = [jnp.asarray((np.arange(n) >= j), jnp.float32)    # [n] masks
+    row_ge = [jnp.asarray((np.arange(n) >= j), jnp.float32)
               for j in range(n)]
     for j in range(n):
-        d = jnp.sqrt(jnp.maximum(resid[..., j, j], 1e-30))     # [...]
-        col = (resid[..., :, j] / d[..., None]) * row_ge[j]    # [..., n]
+        # Hermitian PD ⇒ the residual diagonal is real(+); take the real
+        # part explicitly so roundoff imag can't leak into the pivot
+        d = jnp.sqrt(jnp.maximum(jnp.real(resid[..., j, j]), 1e-30))
+        col = (resid[..., :, j] / d[..., None].astype(a.dtype)
+               ) * row_ge[j].astype(a.dtype)
         cols.append(col)
         if j + 1 < n:
-            resid = resid - col[..., :, None] * col[..., None, :]
+            resid = resid - col[..., :, None] * jnp.conj(col[..., None, :])
     return jnp.stack(cols, axis=-1)
 
 
-def _solve_triangular_unrolled(l: jnp.ndarray, b: jnp.ndarray,
-                               lower: bool) -> jnp.ndarray:
-    """Solve L y = b (lower) or L^T y = b (upper) by static substitution.
-    l: [..., n, n]; b: [..., n] → y: [..., n].
+def _solve_lower_complex(l: jnp.ndarray, b: jnp.ndarray,
+                         adjoint: bool) -> jnp.ndarray:
+    """Solve L y = b (adjoint=False) or L^H y = b (adjoint=True).
 
-    Column sweep: once y_k is known, its contribution L[:, k]·y_k (resp.
-    L[k, :]·y_k for the transpose) is subtracted from the whole remainder in
-    one vector op — n elementwise steps instead of n²/2 scalar-slice ops.
-    Entries at indices already consumed pick up garbage in ``rem``, which is
-    harmless: each rem[..., k] is read exactly once, before its update."""
+    Column sweep: once y_k is known, its contribution is subtracted from
+    the whole remainder in one vector op — n elementwise steps instead of
+    n^2/2 scalar-slice ops.  Entries at already-consumed indices pick up
+    garbage in ``rem``, which is harmless: each rem[..., k] is read exactly
+    once, before its update."""
     n = l.shape[-1]
     ys = [None] * n
     rem = b
-    order = range(n) if lower else range(n - 1, -1, -1)
+    order = range(n - 1, -1, -1) if adjoint else range(n)
     for k in order:
-        yk = rem[..., k] / l[..., k, k]
+        dk = l[..., k, k]
+        yk = rem[..., k] / (jnp.conj(dk) if adjoint else dk)
         ys[k] = yk
-        contrib = l[..., :, k] if lower else l[..., k, :]
+        contrib = jnp.conj(l[..., k, :]) if adjoint else l[..., :, k]
         rem = rem - contrib * yk[..., None]
     return jnp.stack(ys, axis=-1)
 
@@ -84,18 +82,13 @@ def hermitian_solve(r: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
       d: complex64 [..., C].
     Returns:
       y: complex64 [..., C].
-    """
-    c = r.shape[-1]
-    rr, ri = jnp.real(r), jnp.imag(r)
-    big = jnp.concatenate([
-        jnp.concatenate([rr, -ri], axis=-1),
-        jnp.concatenate([ri, rr], axis=-1),
-    ], axis=-2)                                            # [..., 2C, 2C]
-    rhs = jnp.concatenate([jnp.real(d), jnp.imag(d)], axis=-1)
-    chol = _cholesky_unrolled(big)
-    y = _solve_triangular_unrolled(chol, rhs, lower=True)
-    y = _solve_triangular_unrolled(chol, y, lower=False)
-    return jax.lax.complex(y[..., :c], y[..., c:])
+
+    Complex Cholesky (L L^H) with unrolled right-looking updates and
+    column-sweep substitutions; fp32 re/im planes throughout (XLA lowers
+    the complex elementwise ops to fp32 VPU pairs — no MXU, no bf16)."""
+    chol = _cholesky_complex_unrolled(r)
+    y = _solve_lower_complex(chol, d, adjoint=False)
+    return _solve_lower_complex(chol, y, adjoint=True)
 
 
 def weights(cov: jnp.ndarray, steer: jnp.ndarray, diag_load: float) -> jnp.ndarray:
