@@ -69,7 +69,11 @@ class ShardedPipeline:
     executed over a ('time', 'channel') mesh."""
 
     def __init__(self, cfg: cfg_mod.PipelineConfig, mesh: Mesh,
-                 jit: bool = True, donate: bool = True):
+                 jit: bool = True, donate: bool = True,
+                 scan_mode: str = "batched"):
+        if scan_mode not in ("batched", "scan"):
+            raise ValueError(f"scan_mode must be batched|scan, got {scan_mode!r}")
+        self.scan_mode = scan_mode
         from mcax.utils import cache as _cache
         _cache.enable()
         self.cfg = cfg
@@ -94,6 +98,9 @@ class ShardedPipeline:
         self.gcc_plan = (gcc.make_plan(self.geom, s.frame_len,
                                        band_hz=cfg.algo.band_hz)
                          if algo == "gcc" else None)
+        self._gcc_band_masks = (gcc.multiband_masks(
+            s.frame_len, cfg.sample_rate, cfg.algo.gcc_bands)
+            if algo == "gcc" and cfg.algo.gcc_bands else None)
         self.srp_plan = (srp.make_plan(self.geom, s.frame_len,
                                        cfg.algo.grid_points,
                                        band_hz=cfg.algo.band_hz)
@@ -111,6 +118,10 @@ class ShardedPipeline:
             self._prep_pair_sharded_steering()
 
         self._build_step(jit, donate)
+        if scan_mode == "batched":
+            self._build_batched(jit, donate)
+        else:
+            self._many_batched = None
 
     # ------------------------------------------------------------------
     def _prep_pair_sharded_steering(self):
@@ -181,6 +192,245 @@ class ShardedPipeline:
             many = jax.jit(many, donate_argnums=(0,) if donate else ())
         self._many = many
 
+    # ------------------------------------------------------------------
+    # Batched throughput mode (mirrors Pipeline._blocks_batched): shard
+    # over BLOCKS on the 'time' axis — each time shard owns B/st consecutive
+    # blocks and runs the fused single-device batched math locally; the
+    # cross-shard pieces are the left-halo ppermute, the channel all-gather
+    # / pair psum, an all-gather of per-shard covariance monoid aggregates
+    # (exclusive shard prefix), replicated tracking over the psum'd+gathered
+    # per-block SRP means, and the OLA spill ppermute.
+    # ------------------------------------------------------------------
+    def _build_batched(self, jit: bool, donate: bool):
+        cfg = self.cfg
+        algo = cfg.algo.name
+        state_spec = jax.tree_util.tree_map(lambda _: P(), self._state_struct())
+        T, CH = TIME_AXIS, CHANNEL_AXIS
+
+        if algo == "gcc":
+            out_spec = {"tdoa": P(T), "doa": P(T), "peak": P(T)}
+            if cfg.algo.gcc_bands:
+                out_spec.update({"tdoa_band": P(T), "peak_band": P(T)})
+        elif algo == "srp":
+            out_spec = {"doa": P(T), "power": P(T)}
+        elif algo in ("delaysum", "mask", "mvdr"):
+            out_spec = {"audio": P(T)}
+        elif algo == "srp_delaysum":
+            out_spec = {"audio": P(T), "doa": P(T)}
+        elif algo == "srp_mvdr":
+            out_spec = {"audio": P(T), "doa": P(T), "doa_frame": P(T)}
+        elif algo == "track_mvdr":
+            out_spec = {"audio": P(T), "doa": P(), "confidence": P()}
+        else:
+            raise ValueError(f"unknown algo {algo!r}")
+
+        in_specs = [state_spec, P(T, CH, None)]
+        if algo in _SRP_ALGOS:
+            in_specs += [P(CH, None), P(CH, None, None), P(CH, None, None)]
+
+        sm = _shard_map(self._local_blocks_batched, self.mesh,
+                        in_specs=tuple(in_specs),
+                        out_specs=(state_spec, out_spec))
+        many = lambda st, x: sm(st, x, *self._extra)
+        if jit:
+            many = jax.jit(many, donate_argnums=(0,) if donate else ())
+        self._many_batched = many
+
+    def _local_blocks_batched(self, state: PipelineState, samples_local,
+                              *extra):
+        cfg = self.cfg
+        hop = cfg.stft.hop
+        lh = cfg.stft.frame_len - hop
+        c = self.geom.num_mics
+        cl = c // self.sc
+        ci = lax.axis_index(CHANNEL_AXIS)
+        ti = lax.axis_index(TIME_AXIS)
+        bl, _, block_len = samples_local.shape              # [Bl, cl, L]
+        t = cfg.frames_per_block
+        bt = bl * t
+
+        flat = jnp.moveaxis(samples_local, 1, 0).reshape(cl, bl * block_len)
+        carry_local = lax.dynamic_slice(state.carry, (ci * cl, 0), (cl, lh))
+        x_local = halo_mod.left_halo(flat, lh, carry_local)
+        new_carry = self._replicate_carry(x_local[:, bt * hop:])
+
+        spectra_local = stft_mod.stft(x_local, self.win_a, hop)  # [cl, BlT, F]
+        spectra = self._gather_channels(spectra_local)           # [C, BlT, F]
+        f = spectra.shape[-1]
+
+        algo = cfg.algo.name
+        out: Dict[str, jnp.ndarray] = {}
+        new_tail, new_tracks = state.ola_tail, state.tracks
+        cov0 = None if state.cov is None else cov_mod.from_planes(state.cov)
+        new_cov = cov0
+
+        def per_block(a):
+            r = a.reshape(*a.shape[:-1], bl, t)
+            return jnp.moveaxis(r, -2, 0)
+
+        def spectra_blocks():
+            return jnp.moveaxis(spectra.reshape(c, bl, t, f), 1, 0)
+
+        def pair_power():
+            """Pair-sharded steered power over this shard's frames, summed
+            over the 'channel' (pair) shards: [Bl*T, G]."""
+            return self._srp_power(spectra, extra)
+
+        def block_covs():
+            """Per-block prefix covariances across ALL shards' blocks: the
+            local inclusive monoid prefix composed with the exclusive
+            prefix of whole left shards (all-gather of shard aggregates)."""
+            decays, partials = jax.vmap(
+                lambda s: cov_mod.block_stats(s, cfg.algo.cov_forget)
+            )(spectra_blocks())                             # [Bl], [Bl,F,C,C]
+
+            def combine(lhs, rhs):
+                d1, p1 = lhs
+                d2, p2 = rhs
+                return d1 * d2, d2[..., None, None, None].astype(p1.dtype) * p1 + p2
+
+            dloc, ploc = jax.lax.associative_scan(combine, (decays, partials))
+            # shard aggregate = last local prefix; gather over 'time'
+            dag = lax.all_gather(dloc[-1], TIME_AXIS)        # [st]
+            pag = lax.all_gather(ploc[-1], TIME_AXIS)        # [st, F, C, C]
+            dpre, ppre = jax.lax.associative_scan(combine, (dag, pag))
+            # exclusive prefix for this shard: identity for shard 0
+            d_exc = jnp.where(ti == 0, jnp.float32(1.0),
+                              dpre[jnp.maximum(ti - 1, 0)])
+            p_exc = jnp.where(ti == 0, jnp.zeros_like(ppre[0]),
+                              ppre[jnp.maximum(ti - 1, 0)])
+            d_tot = d_exc * dloc                             # [Bl]
+            p_tot = (dloc[..., None, None, None].astype(p_exc.dtype) * p_exc
+                     + ploc)
+            covs = (d_tot[:, None, None, None].astype(cov0.dtype) * cov0
+                    + p_tot)
+            # global final covariance = last shard's last block
+            last = jnp.where(ti == self.st - 1, covs[-1],
+                             jnp.zeros_like(covs[-1]))
+            return covs, lax.psum(last, TIME_AXIS)
+
+        def resynth_stream(y):
+            """y [..., Bl*T, F] → (out [Bl, ..., T*hop], tail): local OLA,
+            spill ppermuted to the right time shard."""
+            frames = stft_mod.istft_frames(y, self.win_s)
+            full = overlap_add(frames, hop)                  # [..., BlT*hop+lh]
+            o, tail = halo_mod.ola_tail_exchange(full, bt * hop,
+                                                 state.ola_tail)
+            o = o.reshape(*o.shape[:-1], bl, t * hop)
+            return jnp.moveaxis(o, -2, 0), tail
+
+        if algo == "gcc":
+            if cfg.algo.gcc_bands:
+                res = gcc.gcc_phat_multiband(
+                    spectra, self.pairs, self.gcc_plan, self._gcc_band_masks,
+                    eps=cfg.algo.phat_eps, interpolate=cfg.algo.interpolate,
+                    weighting=cfg.algo.gcc_weighting)
+                out = {"tdoa": per_block(res["tdoa_fused"]),
+                       "doa": per_block(res["doa_fused"]),
+                       "tdoa_band": per_block(res["tdoa"]),
+                       "peak_band": per_block(res["peak"]),
+                       "peak": per_block(jnp.max(res["peak"], axis=0))}
+            else:
+                res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
+                                         eps=cfg.algo.phat_eps,
+                                         interpolate=cfg.algo.interpolate,
+                                         weighting=cfg.algo.gcc_weighting)
+                out = {"tdoa": per_block(res["tdoa"]),
+                       "doa": per_block(res["doa"]),
+                       "peak": per_block(res["peak"])}
+
+        elif algo == "delaysum":
+            y = delaysum.beamform(spectra, jnp.asarray(self.fixed_steer))
+            out["audio"], new_tail = resynth_stream(y)
+
+        elif algo == "mask":
+            y = masking.mask_block(spectra, jnp.asarray(self.mask_phase),
+                                   cfg.algo.mask_threshold_rad,
+                                   cfg.algo.mask_sharpness)
+            out["audio"], new_tail = resynth_stream(y)
+
+        elif algo == "srp":
+            power = pair_power()                             # [Bl*T, G]
+            az, pk = srp.argmax_doa(power, self.srp_plan,
+                                    interpolate=cfg.algo.srp_interpolate)
+            out = {"doa": per_block(az), "power": per_block(pk)}
+
+        elif algo == "srp_delaysum":
+            power = pair_power()
+            pmean = jnp.mean(power.reshape(bl, t, -1), axis=1)   # [Bl, G]
+            gidx = jnp.argmax(pmean, axis=-1)
+            steer_v = srp.steering_vector(self.srp_plan, gidx)   # [Bl, C, F]
+            y = delaysum.beamform(spectra_blocks(), steer_v)
+            out["audio"], new_tail = resynth_stream(
+                y.reshape(bt, f))
+            out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
+                                     jnp.float32)[gidx]
+
+        elif algo == "mvdr":
+            covs, new_cov = block_covs()
+            steer_v = jnp.asarray(self.fixed_steer)
+            w = jax.vmap(lambda r: mvdr.weights(r, steer_v,
+                                                cfg.algo.diag_load))(covs)
+            y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)
+            out["audio"], new_tail = resynth_stream(y.reshape(bt, f))
+
+        elif algo == "srp_mvdr":
+            power = pair_power()
+            pmean = jnp.mean(power.reshape(bl, t, -1), axis=1)
+            gidx = jnp.argmax(pmean, axis=-1)
+            steer_v = srp.steering_vector(self.srp_plan, gidx)
+            covs, new_cov = block_covs()
+            w = jax.vmap(lambda r, s: mvdr.weights(r, s, cfg.algo.diag_load)
+                         )(covs, steer_v)
+            y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)
+            out["audio"], new_tail = resynth_stream(y.reshape(bt, f))
+            out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
+                                     jnp.float32)[gidx]
+            az_f, _ = srp.argmax_doa(power, self.srp_plan,
+                                     interpolate=cfg.algo.srp_interpolate)
+            out["doa_frame"] = per_block(az_f)
+
+        elif algo == "track_mvdr":
+            power = pair_power()
+            pmean = jnp.mean(power.reshape(bl, t, -1), axis=1)   # [Bl, G]
+            # tracking is a tiny strictly-sequential recursion across ALL
+            # blocks: gather every shard's per-block surfaces ([B, G] —
+            # a few hundred KB) and run it replicated; each shard then
+            # steers only its own blocks
+            pmean_all = lax.all_gather(pmean, TIME_AXIS,
+                                       axis=0, tiled=True)      # [B, G]
+            az_grid = jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32)
+
+            def track_step(tr, pm):
+                new_tr, gi = tracking.track_block(
+                    tr, pm, az_grid, self.suppress_bins,
+                    cfg.algo.track_smooth)
+                return new_tr, (gi, new_tr.angles_rad, new_tr.confidence)
+
+            new_tracks, (gidx_all, angles, conf) = jax.lax.scan(
+                track_step, state.tracks, pmean_all)            # [B, S]
+            gidx = lax.dynamic_slice_in_dim(gidx_all, ti * bl, bl, axis=0)
+            steer_v = srp.steering_vector(self.srp_plan, gidx)  # [Bl,S,C,F]
+            covs, new_cov = block_covs()
+            w = jax.vmap(lambda r, s: mvdr.weights(r, s, cfg.algo.diag_load)
+                         )(covs, steer_v)
+            y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)    # [Bl,S,T,F]
+            y_s = jnp.moveaxis(y, 1, 0).reshape(y.shape[1], bt, f)
+            out["audio"], new_tail = resynth_stream(y_s)
+            out["doa"] = angles
+            out["confidence"] = conf
+
+        else:
+            raise ValueError(f"unknown algo {algo!r}")
+
+        new_cov_planes = (state.cov if new_cov is cov0 or new_cov is None
+                          else cov_mod.to_planes(new_cov))
+        new_state = PipelineState(carry=new_carry,
+                                  block_idx=state.block_idx + bl * self.st,
+                                  ola_tail=new_tail, cov=new_cov_planes,
+                                  tracks=new_tracks)
+        return new_state, out
+
     def _state_struct(self) -> PipelineState:
         """Pytree structure prototype (for building replicated PartitionSpecs)."""
         return self.init_state()
@@ -219,13 +469,25 @@ class ShardedPipeline:
 
     def process_blocks(self, state: PipelineState, samples) -> Tuple[
             PipelineState, Dict[str, jnp.ndarray]]:
-        """Throughput mode: B sequential blocks in one dispatch (lax.scan
-        over the shard_map step); matches B process_block calls."""
+        """Throughput mode: B consecutive blocks in one dispatch.
+
+        Default ("batched") shards the B blocks over the \'time\' mesh axis
+        — each time shard runs the fused single-device batched math on its
+        B/st consecutive blocks (see _local_blocks_batched); requires
+        st | B.  scan_mode="scan" lax.scans the per-block shard_map step
+        (the bit reference; frames sharded over time *within* each block).
+        """
         samples = jnp.asarray(samples, jnp.float32)
         expect = (self.geom.num_mics, self.cfg.block_len)
         if samples.ndim != 3 or samples.shape[1:] != expect:
             raise ValueError(f"expected samples [B, {expect[0]}, {expect[1]}]"
                              f", got {list(samples.shape)}")
+        if self.scan_mode == "batched":
+            if samples.shape[0] % self.st:
+                raise ValueError(
+                    f"batched mode needs block count divisible by the "
+                    f"{self.st} time shards, got {samples.shape[0]}")
+            return self._many_batched(state, samples)
         return self._many(state, samples)
 
     # ------------------------------------------------------------------
