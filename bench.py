@@ -1,7 +1,7 @@
 """Round benchmark: 8-mic SRP-PHAT + MVDR throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N, ...}
 
 The metric is BASELINE.json's primary: multichannel samples/s/chip for the
 config-4 chain (8-mic circular, 48 kHz, SRP-PHAT steering + recursive-
@@ -9,19 +9,28 @@ covariance MVDR + OLA resynthesis).  Baseline = the driver-set target of
 10x real-time at 48 kHz = 480_000 samples/s/chip (BASELINE.md — the
 reference publishes no numbers), so vs_baseline > 1.0 beats the target.
 
-Timing is fenced: iterations chain through the streaming state pytree (so
-the device cannot overlap or elide them) and the clock stops only after a
-device->host fetch of a real scalar from the final state/output — on the
-tunneled TPU backend ``block_until_ready`` neither waits nor surfaces
-runtime errors, so naive loops would measure dispatch rate, not compute
-(see tools/bench.py).  The fetched values are also checked finite, so a
-poisoned run cannot report a number.
+Methodology (round-2 hardening; VERDICT.md round-1 item 1):
+  * Fenced timing: iterations chain through the streaming state pytree (the
+    device cannot overlap, elide or memoize them) and the clock stops only
+    after a device->host fetch of a real scalar from the final output — on
+    the tunneled TPU backend ``block_until_ready`` neither waits nor
+    surfaces runtime errors, so naive loops measure dispatch rate, not
+    compute (PERF.md round-1 retraction).  Fetched values are checked
+    finite, so a poisoned run cannot report a number.
+  * Batch auto-tune: blocks-per-dispatch is picked from {32, 64, 128} by a
+    short timed probe per candidate (dispatch overhead on the tunnel is
+    ~10 ms; small batches measure the tunnel, large ones gain nothing).
+  * Repetitions: >=5 timed repetitions at the chosen batch; the reported
+    value is the MEDIAN and ``spread_pct`` is (max-min)/median over the
+    repetitions, so one tunnel hiccup cannot swing the headline number
+    (round 1's single measurement swung 2.3x between invocations).
 """
 
 from __future__ import annotations
 
 import json
 import math
+import statistics
 import time
 
 import jax
@@ -40,39 +49,51 @@ def _fence(tree) -> float:
     raise ValueError("no real leaf to fence on")
 
 
-def main() -> None:
-    from mcax.config import get_config
-    from mcax.pipeline import Pipeline
-
-    cfg = get_config("config4")
-    pipe = Pipeline(cfg)
+def _time_batch(pipe, cfg, batch: int, iters: int) -> float:
+    """Median-free single timing run: samples/s at this batch size."""
     rng = np.random.default_rng(0)
-    batch = 64     # blocks per dispatch (lax.scan): 32 still leaves the
-                   # dispatch overhead visible on the tunneled backend
-                   # (1.73 ms/block); 64 saturates at ~0.30 ms/block and
-                   # 128/256 gain nothing further (PERF.md)
     blocks = jax.device_put(rng.standard_normal(
         (batch, pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
-
     state = pipe.init_state()
-    state, out = pipe.process_blocks(state, blocks)    # compile + warmup
+    state, out = pipe.process_blocks(state, blocks)      # compile + warmup
     _fence(out)
-
-    iters = 16
     t0 = time.perf_counter()
     for _ in range(iters):
         state, out = pipe.process_blocks(state, blocks)
     _fence(out)
     _fence(state)
     dt = time.perf_counter() - t0
+    return iters * batch * cfg.block_len / dt
 
-    samples_per_s = iters * batch * cfg.block_len / dt
+
+def main() -> None:
+    from mcax.config import get_config
+    from mcax.pipeline import Pipeline
+
+    cfg = get_config("config4")
+    pipe = Pipeline(cfg)
+
+    # --- batch auto-tune: one short probe per candidate --------------------
+    candidates = (32, 64, 128)
+    probes = {b: _time_batch(pipe, cfg, b, iters=4) for b in candidates}
+    batch = max(probes, key=probes.get)
+
+    # --- repetitions at the winning batch ----------------------------------
+    # keep total samples per repetition comparable across batch choices
+    iters = max(4, 1024 // batch)
+    reps = [_time_batch(pipe, cfg, batch, iters) for _ in range(5)]
+    value = statistics.median(reps)
+    spread = (max(reps) - min(reps)) / value if value else float("inf")
+
     baseline = 10.0 * cfg.sample_rate       # 10x real-time target
     print(json.dumps({
         "metric": "samples_per_s_per_chip_8mic_srp_phat_mvdr_48k",
-        "value": round(samples_per_s, 1),
+        "value": round(value, 1),
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_s / baseline, 3),
+        "vs_baseline": round(value / baseline, 3),
+        "batch": batch,
+        "reps": [round(r, 1) for r in reps],
+        "spread_pct": round(100.0 * spread, 1),
     }))
 
 

@@ -79,7 +79,8 @@ def hermitian_solve(r: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
     Args:
       r: complex64 [..., C, C] (Hermitian PD — diagonally loaded upstream).
-      d: complex64 [..., C].
+      d: complex64 [..., C].  Extra *leading* axes on d (e.g. sources)
+        broadcast against r, sharing ONE factorisation of each R.
     Returns:
       y: complex64 [..., C].
 
@@ -99,10 +100,18 @@ def weights(cov: jnp.ndarray, steer: jnp.ndarray, diag_load: float) -> jnp.ndarr
       steer: complex64 steering vector [..., C, F] (leading axes = sources).
     Returns:
       w: complex64 [..., C, F] with the distortionless property w^H d = 1.
+
+    The Cholesky factorisation runs ONCE on [F, C, C] and is shared across
+    all leading (source) axes of ``steer`` — per-source work is only the two
+    triangular substitutions (the reference re-solves per source; config5's
+    two tracked sources share one R, so sharing the O(C^3) factor halves the
+    dominant term; VERDICT.md round-1 item 3).
     """
     r = cov_mod.loaded(cov, diag_load)                     # [F, C, C]
     d = jnp.moveaxis(steer, -1, -2)                        # [..., F, C]
-    y = hermitian_solve(jnp.broadcast_to(r, d.shape[:-1] + r.shape[-2:]), d)
+    chol = _cholesky_complex_unrolled(r)                   # factor once
+    y = _solve_lower_complex(chol, d, adjoint=False)       # broadcasts over
+    y = _solve_lower_complex(chol, y, adjoint=True)        # leading axes
     denom = jnp.sum(jnp.conj(d) * y, axis=-1, keepdims=True)
     denom = jnp.where(jnp.abs(denom) > 1e-12, denom,
                       jnp.asarray(1e-12, denom.dtype))

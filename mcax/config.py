@@ -86,6 +86,15 @@ class AlgoConfig:
     num_sources: int = 2
     peak_suppression_deg: float = 20.0
     track_smooth: float = 0.7         # EMA smoothing on tracked angles
+    # Track smoother: "ema" (greedy associate + EMA) or "particle" (the
+    # dspone ParticleFilter analogue smoothing localisation in-loop,
+    # SURVEY.md §2a C11: per-source particle clouds reweighted by the SRP
+    # surface with rival-source neighborhoods suppressed).
+    smoother: str = "ema"
+    num_particles: int = 256
+    particle_step_std_rad: float = 0.05
+    particle_resample_threshold: float = 0.5
+    particle_seed: int = 0
     # Binaural masking
     mask_threshold_rad: float = 0.5
     mask_sharpness: float = 8.0

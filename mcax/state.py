@@ -15,6 +15,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from mcax.algos.particle import ParticleState
 from mcax.algos.tracking import TrackState
 
 
@@ -28,3 +29,5 @@ class PipelineState:
                                              # planes (complex is internal-
                                              # only; covariance.from_planes)
     tracks: Optional[TrackState] = None
+    particles: Optional[ParticleState] = None   # particle smoother clouds
+                                                # (incl. their PRNG key)

@@ -3,7 +3,7 @@
 The reference has no serialization at all (stateful C++ objects); mcax's
 entire streaming state is one pytree, so preemption-safe resume is a plain
 ``np.savez`` of the leaves plus the config hash and sample cursor.  Resume
-is bit-identical to an uninterrupted run (tested in tests/unit/test_state.py)
+is bit-identical to an uninterrupted run (tests/unit/test_pipeline.py)
 because the state pytree *is* the complete cross-block memory.
 """
 

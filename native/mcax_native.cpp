@@ -53,6 +53,26 @@ void mcax_i32_to_f32_deinterleave(const int32_t* in, float* out,
   }
 }
 
+// 24-bit little-endian packed PCM (3 bytes/sample), sign-extended.
+// Common on multichannel recorders; neither scipy-write nor PCM16 covers it.
+void mcax_i24_to_f32_deinterleave(const uint8_t* in, float* out,
+                                  int64_t n_frames, int32_t n_channels,
+                                  int64_t out_stride) {
+  const float scale = 1.0f / 8388608.0f;  // 2^23
+  for (int32_t c = 0; c < n_channels; ++c) {
+    const uint8_t* src = in + (int64_t)c * 3;
+    float* dst = out + (int64_t)c * out_stride;
+    const int64_t frame_bytes = (int64_t)n_channels * 3;
+    for (int64_t i = 0; i < n_frames; ++i) {
+      const uint8_t* p = src + i * frame_bytes;
+      int32_t v = (int32_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+                            ((uint32_t)p[2] << 16));
+      v = (v << 8) >> 8;  // sign-extend from bit 23
+      dst[i] = (float)v * scale;
+    }
+  }
+}
+
 void mcax_f32_deinterleave(const float* in, float* out, int64_t n_frames,
                            int32_t n_channels, int64_t out_stride) {
   for (int32_t c = 0; c < n_channels; ++c) {
@@ -138,7 +158,7 @@ void* mcax_wav_open(const char* path, int32_t* channels, int32_t* sample_rate,
     } else if (!memcmp(ch, "data", 4)) {
       w->data_left = (int64_t)sz;
       if (!have_fmt || w->channels <= 0 ||
-          (w->bits != 16 && w->bits != 32)) {
+          (w->bits != 16 && w->bits != 24 && w->bits != 32)) {
         fclose(f);
         free(w);
         return nullptr;
@@ -177,6 +197,9 @@ int64_t mcax_wav_read_block(void* handle, float* out, int64_t block_frames) {
     w->data_left -= frames * bpf;
     if (w->bits == 16) {
       mcax_i16_to_f32_deinterleave((const int16_t*)w->scratch, out, frames,
+                                   w->channels, block_frames);
+    } else if (w->bits == 24) {
+      mcax_i24_to_f32_deinterleave((const uint8_t*)w->scratch, out, frames,
                                    w->channels, block_frames);
     } else if (w->is_float) {
       mcax_f32_deinterleave((const float*)w->scratch, out, frames,

@@ -37,7 +37,7 @@ def _write(tmp, c=4, n=10000, rate=16000, dtype=np.int16):
     return path, x
 
 
-@pytest.mark.parametrize("dtype", [np.int16, np.float32])
+@pytest.mark.parametrize("dtype", [np.int16, np.float32, "int24"])
 def test_native_reader_matches_scipy(tmp_path, dtype):
     path, _ = _write(str(tmp_path), dtype=dtype)
     _, want = wav_io.read_wav(path)
@@ -45,6 +45,25 @@ def test_native_reader_matches_scipy(tmp_path, dtype):
     assert (r.channels, r.sample_rate, r.num_frames) == (4, 16000, 10000)
     got = np.concatenate(list(r), axis=-1)[:, :10000]
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_int24_roundtrip_exact(tmp_path):
+    """24-bit PCM write → read is exact at the 2^-23 quantisation grid,
+    through BOTH readers (scipy fallback and the native parser)."""
+    path = os.path.join(str(tmp_path), "i24.wav")
+    codes = np.array([[0, 1, -1, 8388607, -8388608, 4242424, -4242424,
+                       256, -256]], np.int64)
+    x = (codes / 8388607.0).astype(np.float32)     # exactly representable
+    x = np.clip(x, -1.0, 1.0)
+    wav_io.write_wav(path, 16000, x, dtype="int24")
+    _, via_scipy = wav_io.read_wav(path)
+    r = nat.NativeWavReader(path, 16)
+    blk, got = r.read_block()
+    r.close()
+    assert got == codes.shape[1]
+    want = np.clip(codes, -8388608, 8388607) / 8388608.0
+    np.testing.assert_allclose(blk[:, :got], want, atol=2e-7)
+    np.testing.assert_allclose(via_scipy, want, atol=2e-7)
 
 
 def test_native_reader_pads_final_block(tmp_path):
