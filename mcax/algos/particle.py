@@ -48,7 +48,8 @@ def update(state: ParticleState, power: jnp.ndarray,
     """Reweight particles by the SRP surface.
 
     Args:
-      power: [G] steered-response surface (higher = more likely).
+      power: [G] steered-response surface shared by all sources, or [S, G]
+        with one (e.g. rival-suppressed) surface per source.
       azimuths: [G] grid azimuths (uniform, ascending).
     """
     g = power.shape[-1]
@@ -57,10 +58,14 @@ def update(state: ParticleState, power: jnp.ndarray,
     da = azimuths[1] - azimuths[0]
     idx = jnp.clip(jnp.round((_wrap(state.angles) - a0) / da).astype(jnp.int32),
                    0, g - 1)
-    p = power[idx]                                          # [S, N]
+    if power.ndim == 1:
+        p = power[idx]                                      # [S, N]
+        scale = jnp.std(power)
+    else:
+        p = jnp.take_along_axis(power, idx, axis=-1)        # [S, N]
+        scale = jnp.std(power, axis=-1, keepdims=True)      # [S, 1]
     p = p - jnp.max(p, axis=-1, keepdims=True)
-    like = jnp.exp(p / jnp.maximum(temperature *
-                                   jnp.std(power) + 1e-12, 1e-12))
+    like = jnp.exp(p / jnp.maximum(temperature * scale + 1e-12, 1e-12))
     w = state.weights * like
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     return ParticleState(state.angles, w, state.key)

@@ -98,6 +98,55 @@ def associate_and_update(state: TrackState, peak_angles: jnp.ndarray,
     return TrackState(angles_rad=angles, confidence=conf, initialized=inited)
 
 
+def particle_track_block(pstate, power_mean: jnp.ndarray,
+                         azimuths_rad: jnp.ndarray, suppress_bins: int,
+                         step_std_rad: float, resample_threshold: float):
+    """One block of particle-filter tracking (C11 particle smoother).
+
+    The dspone-ParticleFilter-analogue replacement for the EMA tracker:
+    the block's K strongest SRP peaks are greedily associated to the S
+    particle clouds (nearest cloud estimate claims the strongest peak
+    first), then each cloud runs one predict→reweight→resample cycle on
+    the surface with its RIVALS' peak neighborhoods suppressed — so two
+    clouds cannot collapse onto one loud source.
+
+    Returns (new_pstate, doa_rad [S], confidence [S], grid_idx [S]).
+    """
+    from mcax.algos import particle
+
+    s = pstate.angles.shape[0]
+    g = power_mean.shape[-1]
+    idx, _val = extract_peaks(power_mean, s, suppress_bins)  # [S] strongest 1st
+    peak_angles = azimuths_rad[idx]
+    est, _ = particle.estimate(pstate)                       # [S] cloud means
+
+    # greedy peak→cloud association (strongest peak claims nearest cloud)
+    claimed = jnp.zeros((s,), bool)
+    cloud_peak = jnp.zeros((s,), jnp.int32)
+    for k in range(s):
+        d = circular_distance(est, peak_angles[k])
+        d = jnp.where(claimed, jnp.inf, d)
+        j = jnp.argmin(d)
+        onehot = jax.nn.one_hot(j, s, dtype=bool)
+        cloud_peak = jnp.where(onehot, idx[k], cloud_peak)
+        claimed = claimed | onehot
+
+    # per-cloud surface: suppress every OTHER cloud's peak neighborhood
+    offs = jnp.arange(g)
+    dist = jnp.abs((offs[None, :] - cloud_peak[:, None] + g // 2) % g
+                   - g // 2)                                  # [S, G] bins
+    near = dist <= suppress_bins                              # own neighborhood
+    rival_near = jnp.any(near, axis=0)[None, :] & ~near       # [S, G]
+    floor = jnp.min(power_mean)
+    masked = jnp.where(rival_near, floor, power_mean[None, :])  # [S, G]
+
+    new_ps, doa, conf = particle.step(pstate, masked, azimuths_rad,
+                                      step_std_rad, resample_threshold)
+    d = circular_distance(doa[:, None], azimuths_rad[None, :])
+    grid_idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    return new_ps, doa, conf, grid_idx
+
+
 def track_block(state: TrackState, power_mean: jnp.ndarray,
                 azimuths_rad: jnp.ndarray, suppress_bins: int,
                 smooth: float) -> Tuple[TrackState, jnp.ndarray]:

@@ -36,8 +36,9 @@ def combine_cov_partials(decay_local: jnp.ndarray, partial_local: jnp.ndarray,
     n = lax.axis_size(axis)
     if n == 1:
         return decay_local, partial_local
-    d = lax.all_gather(decay_local, axis)                  # [S]
-    p = lax.all_gather(partial_local, axis)                # [S, F, C, C]
+    from mcax.dist import collectives as coll
+    d = coll.gather(decay_local, axis, tiled=False)        # [S]
+    p = coll.gather(partial_local, axis, tiled=False)      # [S, F, C, C]
     # w_s = prod_{j > s} d_j  (later shards' decay applied to earlier partials)
     suffix = jnp.cumprod(d[::-1])[::-1]                    # [S], suffix[s] = prod_{j>=s}
     w = jnp.concatenate([suffix[1:], jnp.ones((1,), d.dtype)])

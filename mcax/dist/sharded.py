@@ -38,8 +38,10 @@ from mcax.algos import delaysum
 from mcax.algos import gcc
 from mcax.algos import masking
 from mcax.algos import mvdr
+from mcax.algos import particle as particle_mod
 from mcax.algos import srp
 from mcax.algos import tracking
+from mcax.dist import collectives as coll
 from mcax.dist import halo as halo_mod
 from mcax.dist import scan as dscan
 from mcax.dist.mesh import CHANNEL_AXIS, TIME_AXIS
@@ -52,16 +54,24 @@ from mcax.state import PipelineState
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
-    """shard_map across jax versions (check_vma vs check_rep kwarg)."""
+    """shard_map across jax versions (check_vma vs check_rep kwarg).
+
+    Replication checking is ON in guard mode (MCAX_CHECK_VMA=1, see
+    mcax.dist.collectives): there the data-path gathers switch to the
+    psum-based invariant form whose replication vma inference CAN prove.
+    In production the gathers are plain all_gather — bytes-identical
+    output that the checker cannot statically verify — so the check must
+    stay off; CI runs the guarded twin and asserts bit-parity instead."""
     sm = getattr(jax, "shard_map", None)
     if sm is None:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map as sm
+    check = coll.guard_enabled()
     try:
         return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                  check_vma=False)
+                  check_vma=check)
     except TypeError:  # pragma: no cover - older kwarg name
         return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                  check_rep=False)
+                  check_rep=check)
 
 
 class ShardedPipeline:
@@ -154,6 +164,9 @@ class ShardedPipeline:
         if algo == "gcc":
             out_spec = {"tdoa": P(None, TIME_AXIS), "doa": P(None, TIME_AXIS),
                         "peak": P(None, TIME_AXIS)}
+            if cfg.algo.gcc_bands:
+                out_spec.update({"tdoa_band": P(None, None, TIME_AXIS),
+                                 "peak_band": P(None, None, TIME_AXIS)})
         elif algo == "srp":
             out_spec = {"doa": P(TIME_AXIS), "power": P(TIME_AXIS)}
         elif algo in ("delaysum", "mask", "mvdr"):
@@ -261,6 +274,7 @@ class ShardedPipeline:
         algo = cfg.algo.name
         out: Dict[str, jnp.ndarray] = {}
         new_tail, new_tracks = state.ola_tail, state.tracks
+        new_particles = state.particles
         cov0 = None if state.cov is None else cov_mod.from_planes(state.cov)
         new_cov = cov0
 
@@ -291,8 +305,8 @@ class ShardedPipeline:
 
             dloc, ploc = jax.lax.associative_scan(combine, (decays, partials))
             # shard aggregate = last local prefix; gather over 'time'
-            dag = lax.all_gather(dloc[-1], TIME_AXIS)        # [st]
-            pag = lax.all_gather(ploc[-1], TIME_AXIS)        # [st, F, C, C]
+            dag = coll.gather(dloc[-1], TIME_AXIS, tiled=False)  # [st]
+            pag = coll.gather(ploc[-1], TIME_AXIS, tiled=False)  # [st,F,C,C]
             dpre, ppre = jax.lax.associative_scan(combine, (dag, pag))
             # exclusive prefix for this shard: identity for shard 0
             d_exc = jnp.where(ti == 0, jnp.float32(1.0),
@@ -397,18 +411,29 @@ class ShardedPipeline:
             # blocks: gather every shard's per-block surfaces ([B, G] —
             # a few hundred KB) and run it replicated; each shard then
             # steers only its own blocks
-            pmean_all = lax.all_gather(pmean, TIME_AXIS,
-                                       axis=0, tiled=True)      # [B, G]
+            pmean_all = coll.gather(pmean, TIME_AXIS,
+                                    axis=0, tiled=True)         # [B, G]
             az_grid = jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32)
 
-            def track_step(tr, pm):
-                new_tr, gi = tracking.track_block(
-                    tr, pm, az_grid, self.suppress_bins,
-                    cfg.algo.track_smooth)
-                return new_tr, (gi, new_tr.angles_rad, new_tr.confidence)
+            if cfg.algo.smoother == "particle":
+                def ptrack_step(ps, pm):
+                    new_ps, doa, conf, gi = tracking.particle_track_block(
+                        ps, pm, az_grid, self.suppress_bins,
+                        cfg.algo.particle_step_std_rad,
+                        cfg.algo.particle_resample_threshold)
+                    return new_ps, (gi, doa, conf)
 
-            new_tracks, (gidx_all, angles, conf) = jax.lax.scan(
-                track_step, state.tracks, pmean_all)            # [B, S]
+                new_particles, (gidx_all, angles, conf) = jax.lax.scan(
+                    ptrack_step, state.particles, pmean_all)    # [B, S]
+            else:
+                def track_step(tr, pm):
+                    new_tr, gi = tracking.track_block(
+                        tr, pm, az_grid, self.suppress_bins,
+                        cfg.algo.track_smooth)
+                    return new_tr, (gi, new_tr.angles_rad, new_tr.confidence)
+
+                new_tracks, (gidx_all, angles, conf) = jax.lax.scan(
+                    track_step, state.tracks, pmean_all)        # [B, S]
             gidx = lax.dynamic_slice_in_dim(gidx_all, ti * bl, bl, axis=0)
             steer_v = srp.steering_vector(self.srp_plan, gidx)  # [Bl,S,C,F]
             covs, new_cov = block_covs()
@@ -428,7 +453,8 @@ class ShardedPipeline:
         new_state = PipelineState(carry=new_carry,
                                   block_idx=state.block_idx + bl * self.st,
                                   ola_tail=new_tail, cov=new_cov_planes,
-                                  tracks=new_tracks)
+                                  tracks=new_tracks,
+                                  particles=new_particles)
         return new_state, out
 
     def _state_struct(self) -> PipelineState:
@@ -452,11 +478,18 @@ class ShardedPipeline:
             ola_tail = jnp.zeros(shape, jnp.float32)
         cov = (cov_mod.init_planes(cfg.stft.num_bins, c)
                if algo in _COV_ALGOS else None)
+        use_particle = (algo == "track_mvdr"
+                        and cfg.algo.smoother == "particle")
         tracks = (tracking.init_tracks(cfg.algo.num_sources)
-                  if algo == "track_mvdr" else None)
+                  if algo == "track_mvdr" and not use_particle else None)
+        particles = (particle_mod.init(cfg.algo.num_sources,
+                                       cfg.algo.num_particles,
+                                       cfg.algo.particle_seed)
+                     if use_particle else None)
         return PipelineState(carry=jnp.zeros((c, lh), jnp.float32),
                              block_idx=jnp.zeros((), jnp.int32),
-                             ola_tail=ola_tail, cov=cov, tracks=tracks)
+                             ola_tail=ola_tail, cov=cov, tracks=tracks,
+                             particles=particles)
 
     def process_block(self, state: PipelineState, samples) -> Tuple[
             PipelineState, Dict[str, jnp.ndarray]]:
@@ -514,17 +547,30 @@ class ShardedPipeline:
         algo = cfg.algo.name
         out: Dict[str, jnp.ndarray] = {}
         new_tail, new_tracks = state.ola_tail, state.tracks
+        new_particles = state.particles
         # state.cov crosses the jit boundary as float32 re/im planes
         # (complex64 is internal-only; see covariance.to_planes)
         cov = None if state.cov is None else cov_mod.from_planes(state.cov)
         new_cov = cov
 
         if algo == "gcc":
-            res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
-                                     eps=cfg.algo.phat_eps,
-                                     interpolate=cfg.algo.interpolate,
-                                     weighting=cfg.algo.gcc_weighting)
-            out = {"tdoa": res["tdoa"], "doa": res["doa"], "peak": res["peak"]}
+            if cfg.algo.gcc_bands:
+                # same multiband math as the batched path (frames are the
+                # local time shard; per-frame outputs shard over 'time')
+                res = gcc.gcc_phat_multiband(
+                    spectra, self.pairs, self.gcc_plan, self._gcc_band_masks,
+                    eps=cfg.algo.phat_eps, interpolate=cfg.algo.interpolate,
+                    weighting=cfg.algo.gcc_weighting)
+                out = {"tdoa": res["tdoa_fused"], "doa": res["doa_fused"],
+                       "tdoa_band": res["tdoa"], "peak_band": res["peak"],
+                       "peak": jnp.max(res["peak"], axis=0)}
+            else:
+                res = gcc.gcc_phat_block(spectra, self.pairs, self.gcc_plan,
+                                         eps=cfg.algo.phat_eps,
+                                         interpolate=cfg.algo.interpolate,
+                                         weighting=cfg.algo.gcc_weighting)
+                out = {"tdoa": res["tdoa"], "doa": res["doa"],
+                       "peak": res["peak"]}
 
         elif algo == "delaysum":
             y = delaysum.beamform(spectra, jnp.asarray(self.fixed_steer))
@@ -577,17 +623,28 @@ class ShardedPipeline:
         elif algo == "track_mvdr":
             power = self._srp_power(spectra, extra)
             pmean = dscan.psum_mean(power, TIME_AXIS)
-            new_tracks, gidx = tracking.track_block(
-                state.tracks, pmean,
-                jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32),
-                self.suppress_bins, cfg.algo.track_smooth)
+            az_grid = jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32)
+            if cfg.algo.smoother == "particle":
+                # replicated state + replicated pmean ⇒ every shard runs the
+                # same PRNG stream and lands on identical clouds
+                new_particles, doa_s, conf_s, gidx = (
+                    tracking.particle_track_block(
+                        state.particles, pmean, az_grid, self.suppress_bins,
+                        cfg.algo.particle_step_std_rad,
+                        cfg.algo.particle_resample_threshold))
+            else:
+                new_tracks, gidx = tracking.track_block(
+                    state.tracks, pmean, az_grid,
+                    self.suppress_bins, cfg.algo.track_smooth)
+                doa_s = new_tracks.angles_rad
+                conf_s = new_tracks.confidence
             steer_v = srp.steering_vector(self.srp_plan, gidx)   # [S, C, F]
             new_cov = self._cov_update(cov, spectra)
             w = mvdr.weights(new_cov, steer_v, cfg.algo.diag_load)
             out["audio"], new_tail = self._resynth(
                 mvdr.beamform(spectra, w), state.ola_tail)
-            out["doa"] = new_tracks.angles_rad
-            out["confidence"] = new_tracks.confidence
+            out["doa"] = doa_s
+            out["confidence"] = conf_s
 
         else:
             raise ValueError(f"unknown algo {algo!r}")
@@ -597,7 +654,8 @@ class ShardedPipeline:
         new_state = PipelineState(carry=new_carry,
                                   block_idx=state.block_idx + 1,
                                   ola_tail=new_tail, cov=new_cov_planes,
-                                  tracks=new_tracks)
+                                  tracks=new_tracks,
+                                  particles=new_particles)
         return new_state, out
 
     # ---- collective helpers -------------------------------------------
@@ -605,12 +663,15 @@ class ShardedPipeline:
         last = halo_mod.collect_last(carry_local, TIME_AXIS)
         if self.sc == 1:
             return last
-        return lax.all_gather(last, CHANNEL_AXIS, axis=0, tiled=True)
+        # invariant gather unconditionally: the carry is tiny ([C, lh]) and
+        # the state out-spec claims replication, which vma must be able to
+        # prove in guard mode
+        return coll.all_gather_invariant(last, CHANNEL_AXIS, axis=0)
 
     def _gather_channels(self, spectra_local):
         if self.sc == 1:
             return spectra_local
-        return lax.all_gather(spectra_local, CHANNEL_AXIS, axis=0, tiled=True)
+        return coll.gather(spectra_local, CHANNEL_AXIS, axis=0, tiled=True)
 
     def _srp_power(self, spectra, extra):
         """Pair-sharded steered power: each channel shard handles its slice

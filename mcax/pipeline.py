@@ -31,6 +31,7 @@ from mcax.algos import delaysum
 from mcax.algos import gcc
 from mcax.algos import masking
 from mcax.algos import mvdr
+from mcax.algos import particle as particle_mod
 from mcax.algos import srp
 from mcax.algos import tracking
 from mcax.frames import stft as stft_mod
@@ -114,14 +115,21 @@ class Pipeline:
                 ola_tail = jnp.zeros((lh,), jnp.float32)
         cov = (cov_mod.init_planes(cfg.stft.num_bins, c)
                if algo in _COV_ALGOS else None)
+        use_particle = (algo == "track_mvdr"
+                        and cfg.algo.smoother == "particle")
         tracks = (tracking.init_tracks(cfg.algo.num_sources)
-                  if algo == "track_mvdr" else None)
+                  if algo == "track_mvdr" and not use_particle else None)
+        particles = (particle_mod.init(cfg.algo.num_sources,
+                                       cfg.algo.num_particles,
+                                       cfg.algo.particle_seed)
+                     if use_particle else None)
         return PipelineState(
             carry=jnp.zeros((c, lh), jnp.float32),
             block_idx=jnp.zeros((), jnp.int32),
             ola_tail=ola_tail,
             cov=cov,
             tracks=tracks,
+            particles=particles,
         )
 
     def process_block(self, state: PipelineState, samples) -> Tuple[
@@ -184,6 +192,7 @@ class Pipeline:
         algo = cfg.algo.name
         out: Dict[str, jnp.ndarray] = {}
         new_tail, new_tracks = state.ola_tail, state.tracks
+        new_particles = state.particles
         cov0 = None if state.cov is None else cov_mod.from_planes(state.cov)
         new_cov = cov0
 
@@ -304,14 +313,25 @@ class Pipeline:
             pmean = jnp.mean(power.reshape(b, t, -1), axis=1)  # [B, G]
             az_grid = jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32)
 
-            def track_step(tr, pm):
-                new_tr, gi = tracking.track_block(
-                    tr, pm, az_grid, self.suppress_bins,
-                    cfg.algo.track_smooth)
-                return new_tr, (gi, new_tr.angles_rad, new_tr.confidence)
+            if cfg.algo.smoother == "particle":
+                def ptrack_step(ps, pm):
+                    new_ps, doa, conf, gi = tracking.particle_track_block(
+                        ps, pm, az_grid, self.suppress_bins,
+                        cfg.algo.particle_step_std_rad,
+                        cfg.algo.particle_resample_threshold)
+                    return new_ps, (gi, doa, conf)
 
-            new_tracks, (gidx, angles, conf) = jax.lax.scan(
-                track_step, state.tracks, pmean)               # [B, S] each
+                new_particles, (gidx, angles, conf) = jax.lax.scan(
+                    ptrack_step, state.particles, pmean)       # [B, S] each
+            else:
+                def track_step(tr, pm):
+                    new_tr, gi = tracking.track_block(
+                        tr, pm, az_grid, self.suppress_bins,
+                        cfg.algo.track_smooth)
+                    return new_tr, (gi, new_tr.angles_rad, new_tr.confidence)
+
+                new_tracks, (gidx, angles, conf) = jax.lax.scan(
+                    track_step, state.tracks, pmean)           # [B, S] each
             steer = srp.steering_vector(self.srp_plan, gidx)   # [B, S, C, F]
             covs = block_covs()
             new_cov = covs[-1]
@@ -334,7 +354,8 @@ class Pipeline:
         new_state = PipelineState(carry=new_carry,
                                   block_idx=state.block_idx + b,
                                   ola_tail=new_tail, cov=new_cov_planes,
-                                  tracks=new_tracks)
+                                  tracks=new_tracks,
+                                  particles=new_particles)
         return new_state, out
 
     # ------------------------------------------------------------------
@@ -376,6 +397,7 @@ class Pipeline:
         algo = cfg.algo.name
         out: Dict[str, jnp.ndarray] = {}
         new_tail, new_tracks = state.ola_tail, state.tracks
+        new_particles = state.particles
         # state.cov crosses the jit boundary as float32 re/im planes
         # (complex64 is internal-only; see covariance.to_planes)
         cov = None if state.cov is None else cov_mod.from_planes(state.cov)
@@ -458,17 +480,26 @@ class Pipeline:
             power = srp.srp_surface(spectra, self.pairs, self.srp_plan,
                                     eps=cfg.algo.phat_eps)
             pmean = jnp.mean(power, axis=-2)
-            new_tracks, gidx = tracking.track_block(
-                state.tracks, pmean,
-                jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32),
-                self.suppress_bins, cfg.algo.track_smooth)
+            az_grid = jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32)
+            if cfg.algo.smoother == "particle":
+                new_particles, doa_s, conf_s, gidx = (
+                    tracking.particle_track_block(
+                        state.particles, pmean, az_grid, self.suppress_bins,
+                        cfg.algo.particle_step_std_rad,
+                        cfg.algo.particle_resample_threshold))
+            else:
+                new_tracks, gidx = tracking.track_block(
+                    state.tracks, pmean, az_grid,
+                    self.suppress_bins, cfg.algo.track_smooth)
+                doa_s = new_tracks.angles_rad
+                conf_s = new_tracks.confidence
             steer = srp.steering_vector(self.srp_plan, gidx)   # [S, C, F]
             new_cov = cov_mod.update(cov, spectra, cfg.algo.cov_forget)
             w = mvdr.weights(new_cov, steer, cfg.algo.diag_load)  # [S, C, F]
             y = mvdr.beamform(spectra, w)                  # [S, T, F]
             out["audio"], new_tail = self._resynth(y, state.ola_tail)
-            out["doa"] = new_tracks.angles_rad
-            out["confidence"] = new_tracks.confidence
+            out["doa"] = doa_s
+            out["confidence"] = conf_s
 
         else:
             raise ValueError(f"unknown algo {algo!r}")
@@ -478,7 +509,8 @@ class Pipeline:
         new_state = PipelineState(carry=new_carry,
                                   block_idx=state.block_idx + 1,
                                   ola_tail=new_tail, cov=new_cov_planes,
-                                  tracks=new_tracks)
+                                  tracks=new_tracks,
+                                  particles=new_particles)
         return new_state, out
 
     def _resynth(self, y: jnp.ndarray, tail: jnp.ndarray):

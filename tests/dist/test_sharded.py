@@ -82,6 +82,48 @@ def test_sharded_matches_single_device(name, ts, cs, keys, atol):
                                    atol=atol)
 
 
+def test_sharded_multiband_gcc_matches_single_device():
+    """Multiband GCC in the sharded per-block (scan) step: the round-1
+    silent fork (scan mode dropped algo.gcc_bands) is closed — both modes
+    of ShardedPipeline now run the same multiband math as Pipeline."""
+    cfg = cfg_mod.get_config("config1")
+    cfg = dataclasses.replace(
+        cfg, algo=dataclasses.replace(cfg.algo, gcc_bands=4))
+    nblocks = 2
+    x = _signal_for(cfg, nblocks)
+    ref_state, ref_outs = _run(Pipeline(cfg, donate=False), x, nblocks,
+                               cfg.block_len)
+    sp = ShardedPipeline(cfg, mesh_mod.make_mesh(4, 2), donate=False)
+    got_state, got_outs = _run(sp, x, nblocks, cfg.block_len)
+    _assert_close(ref_outs, got_outs,
+                  ["tdoa", "doa", "tdoa_band", "peak_band", "peak"],
+                  atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_state.carry),
+                               np.asarray(ref_state.carry), atol=1e-6)
+
+
+def test_sharded_particle_smoother_matches_single_device():
+    """config5 with the particle smoother: replicated clouds + identical
+    PRNG streams ⇒ the sharded pipeline reproduces the single-device one."""
+    cfg = cfg_mod.get_config("config5")
+    cfg = dataclasses.replace(
+        cfg, algo=dataclasses.replace(cfg.algo, smoother="particle",
+                                      num_particles=128))
+    nblocks = 3
+    x = _signal_for(cfg, nblocks)
+    ref_state, ref_outs = _run(Pipeline(cfg, donate=False), x, nblocks,
+                               cfg.block_len)
+    sp = ShardedPipeline(cfg, mesh_mod.make_mesh(2, 4), donate=False)
+    got_state, got_outs = _run(sp, x, nblocks, cfg.block_len)
+    _assert_close(ref_outs, got_outs, ["audio", "doa", "confidence"],
+                  atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_state.particles.angles),
+                               np.asarray(ref_state.particles.angles),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got_state.particles.key),
+                                  np.asarray(ref_state.particles.key))
+
+
 def test_srp_doa_correct_on_mesh():
     """End-to-end: the sharded SRP grid still finds the injected source."""
     cfg = cfg_mod.get_config("config3")

@@ -122,3 +122,17 @@ def test_cli_set_override(tmp_path):
     assert rc == 0
     rows = doa_path.read_text().strip().splitlines()
     assert len(rows) > 1          # header + per-frame rows
+
+
+def test_cli_mesh_end_to_end(tmp_path):
+    """--mesh TxC reaches ShardedPipeline through the CLI wiring and still
+    localises the injected source (VERDICT.md round-1 weak item 7)."""
+    path, cfg = _wav_for("config3", str(tmp_path), az_deg=-75.0, nblocks=2)
+    doa = os.path.join(tmp_path, "doa.csv")
+    rc = cli_run.main([path, "--config", "config3", "--doa-out", doa,
+                       "--mesh", "2x4"])
+    assert rc == 0
+    rows = open(doa).read().strip().splitlines()[1:]
+    vals = [float(r.split(",")[2]) for r in rows]
+    est = np.median(vals[len(vals) // 2:])
+    assert abs(est - (-75.0)) < 2.0, est

@@ -115,3 +115,40 @@ def test_batched_matches_scan(name, key, tol):
         np.testing.assert_allclose(np.asarray(st2.tracks.angles_rad),
                                    np.asarray(st1.tracks.angles_rad),
                                    atol=1e-5)
+
+
+def test_batched_matches_scan_particle_smoother():
+    """config5 with the particle smoother: the fused batched mode reproduces
+    the per-block scan mode (same PRNG stream — the particle carry scans in
+    block order in both modes)."""
+    import dataclasses
+    cfg = cfg_mod.get_config("config5")
+    cfg = dataclasses.replace(
+        cfg, algo=dataclasses.replace(cfg.algo, smoother="particle",
+                                      num_particles=128))
+    g = cfg.geometry()
+    nb = 4
+    x = helpers.moving_sources(
+        g, [np.deg2rad(-60.0), np.deg2rad(50.0)],
+        [np.deg2rad(-30.0), np.deg2rad(80.0)],
+        cfg.block_len * nb, cfg.block_len, seed=2)
+    blocks = x.reshape(g.num_mics, nb, cfg.block_len).transpose(1, 0, 2)
+
+    ref = Pipeline(cfg, donate=False, scan_mode="scan")
+    st1 = ref.init_state()
+    st1, out_scan = ref.process_blocks(st1, blocks)
+
+    bat = Pipeline(cfg, donate=False, scan_mode="batched")
+    st2 = bat.init_state()
+    st2, out_bat = bat.process_blocks(st2, blocks)
+
+    np.testing.assert_allclose(np.asarray(out_bat["doa"]),
+                               np.asarray(out_scan["doa"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_bat["audio"]),
+                               np.asarray(out_scan["audio"]),
+                               atol=5e-4, rtol=5e-4)
+    assert st1.particles is not None and st2.particles is not None
+    np.testing.assert_array_equal(np.asarray(st2.particles.key),
+                                  np.asarray(st1.particles.key))
+    np.testing.assert_allclose(np.asarray(st2.particles.angles),
+                               np.asarray(st1.particles.angles), atol=1e-4)

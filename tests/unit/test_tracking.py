@@ -1,8 +1,11 @@
 """Peak extraction + track association (component C11)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
+from mcax import geometry as geo
+from mcax.algos import particle
 from mcax.algos import tracking
 
 
@@ -58,6 +61,68 @@ def test_association_is_stable_under_permutation():
     st2, _ = tracking.track_block(st, jnp.asarray(p2), jnp.asarray(az, jnp.float32), 20, 0.7)
     d = np.rad2deg(np.abs(np.asarray(st2.angles_rad) - np.asarray(st.angles_rad)))
     assert np.all(d < 2.0)            # both tracks stayed put
+
+
+def test_particle_smoother_beats_ema_on_moving_sources():
+    """The particle smoother (dspone ParticleFilter analogue) tracks two
+    moving sources on noisy SRP surfaces with lower error than the EMA
+    tracker — the in-loop smoothing win that motivates C11's smoother."""
+    g = 360
+    az_np = geo.azimuth_grid(g)
+    az = jnp.asarray(az_np, jnp.float32)
+    rng = np.random.default_rng(7)
+
+    def surface(angles_deg, width=12.0, powers=(10.0, 8.0), noise=1.0):
+        azd = np.rad2deg(az_np)
+        s = np.zeros(g)
+        for a, p in zip(angles_deg, powers):
+            d = np.abs((azd - a + 180.0) % 360.0 - 180.0)
+            s += p * np.exp(-0.5 * (d / width) ** 2)
+        return (s + noise * rng.standard_normal(g)).astype(np.float32)
+
+    def circ_err(est_deg, true_deg):
+        e, t = np.asarray(est_deg), np.asarray(true_deg)
+        d1 = np.abs((e - t + 180) % 360 - 180).mean()
+        d2 = np.abs((e - t[::-1] + 180) % 360 - 180).mean()
+        return min(d1, d2)
+
+    pstep = jax.jit(lambda ps, s: tracking.particle_track_block(
+        ps, s, az, 20, 0.05, 0.5))
+    estep = jax.jit(lambda tr, s: tracking.track_block(tr, s, az, 20, 0.7))
+    ps = particle.init(2, 256, seed=0)
+    tr = tracking.init_tracks(2)
+    errs_p, errs_e = [], []
+    for b in range(60):
+        truth = [-60.0 + 1.5 * b, 120.0 - 1.0 * b]
+        surf = jnp.asarray(surface(truth))
+        ps, doa_p, _conf, _gi = pstep(ps, surf)
+        tr, _ = estep(tr, surf)
+        if b >= 10:                                    # skip seeding burn-in
+            errs_p.append(circ_err(np.rad2deg(np.asarray(doa_p)), truth))
+            errs_e.append(circ_err(np.rad2deg(np.asarray(tr.angles_rad)),
+                                   truth))
+    med_p, med_e = np.median(errs_p), np.median(errs_e)
+    assert med_p < 4.0, med_p                          # absolute quality
+    assert med_p < med_e, (med_p, med_e)               # beats the EMA lag
+
+
+def test_particle_track_block_separates_two_sources():
+    """Rival-suppressed per-cloud surfaces keep the two clouds on their own
+    sources (no collapse onto the louder peak)."""
+    g = 360
+    az = jnp.asarray(geo.azimuth_grid(g), jnp.float32)
+    azd = np.rad2deg(geo.azimuth_grid(g))
+    s = np.zeros(g)
+    for a, p in [(40.0, 10.0), (-100.0, 6.0)]:         # one much louder
+        d = np.abs((azd - a + 180.0) % 360.0 - 180.0)
+        s += p * np.exp(-0.5 * (d / 10.0) ** 2)
+    surf = jnp.asarray(s.astype(np.float32))
+    ps = particle.init(2, 256, seed=3)
+    for _ in range(25):
+        ps, doa, conf, gidx = tracking.particle_track_block(
+            ps, surf, az, 20, 0.05, 0.5)
+    got = np.sort(np.rad2deg(np.asarray(doa)))
+    np.testing.assert_allclose(got, [-100.0, 40.0], atol=4.0)
 
 
 def test_wrap_angle():
