@@ -55,7 +55,11 @@ def _time_batch(pipe, cfg, batch: int, iters: int) -> float:
     blocks = jax.device_put(rng.standard_normal(
         (batch, pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
     state = pipe.init_state()
-    state, out = pipe.process_blocks(state, blocks)      # compile + warmup
+    # compile + warm-up: the tunneled backend runs the FIRST few dispatches
+    # of each program ~10x slow (program load/steady-state warm-up, PERF.md
+    # round 2), so warm up with several fenced dispatches, not one
+    for _ in range(3):
+        state, out = pipe.process_blocks(state, blocks)
     _fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -72,16 +76,29 @@ def main() -> None:
 
     cfg = get_config("config4")
     pipe = Pipeline(cfg)
+    deadline = time.monotonic() + float(
+        __import__("os").environ.get("MCAX_BENCH_BUDGET_S", "420"))
 
     # --- batch auto-tune: one short probe per candidate --------------------
-    candidates = (32, 64, 128)
-    probes = {b: _time_batch(pipe, cfg, b, iters=4) for b in candidates}
+    # deadline-aware: the tunneled backend occasionally stalls for minutes
+    # (PERF.md round 2); if the budget runs low, fall back to the known-good
+    # batch so the driver always gets a number
+    candidates = (64, 128, 32)
+    probes = {}
+    for b in candidates:
+        probes[b] = _time_batch(pipe, cfg, b, iters=4)
+        if time.monotonic() > deadline - 120:
+            break
     batch = max(probes, key=probes.get)
 
     # --- repetitions at the winning batch ----------------------------------
     # keep total samples per repetition comparable across batch choices
     iters = max(4, 1024 // batch)
-    reps = [_time_batch(pipe, cfg, batch, iters) for _ in range(5)]
+    reps = []
+    for _ in range(5):
+        reps.append(_time_batch(pipe, cfg, batch, iters))
+        if len(reps) >= 3 and time.monotonic() > deadline:
+            break
     value = statistics.median(reps)
     spread = (max(reps) - min(reps)) / value if value else float("inf")
 

@@ -17,6 +17,7 @@ import numpy as np
 
 from mcax import geometry as geo
 from mcax.kernels import cps as kcps
+from mcax.kernels import dispatch
 from mcax.kernels import steer as ksteer
 
 
@@ -29,6 +30,11 @@ class SrpPlan:
     e_im: np.ndarray               # [P*F, G]
     steer_re: np.ndarray           # [G, C, F] per-mic steering vector (cos)
     steer_im: np.ndarray           # [G, C, F] (sin); v = e^{-j omega t_c}
+    # raw ingredients for the fused on-chip-steering kernel
+    # (kernels/srp_fused.py): pair TDOAs, bin frequencies, band mask
+    tau_pg: np.ndarray = None      # [P, G] seconds
+    omega: np.ndarray = None       # [F] rad/s
+    band_mask: np.ndarray = None   # [F] float32 (None = all-pass)
 
 
 def band_bins(n_fft: int, sample_rate: float, band_hz) -> np.ndarray:
@@ -47,6 +53,7 @@ def make_plan(geom: geo.ArrayGeometry, n_fft: int,
     az = geo.azimuth_grid(grid_points)
     e_re, e_im = ksteer.steering_matrices(geom, az, n_fft)
     f = n_fft // 2 + 1
+    band_mask = None
     if band_hz is not None:
         # zero steering rows outside the band: those bins contribute no power
         mask = band_bins(n_fft, geom.sample_rate, band_hz)
@@ -54,13 +61,18 @@ def make_plan(geom: geo.ArrayGeometry, n_fft: int,
         keep = np.tile(mask, p).astype(np.float32)[:, None]   # [P*F, 1]
         e_re = e_re * keep
         e_im = e_im * keep
+        band_mask = mask.astype(np.float32)
     omega = 2.0 * np.pi * geom.sample_rate * np.arange(f) / n_fft
     t = geom.mic_delays(az)                                # [G, C] seconds
     phase = -omega[None, None, :] * t[:, :, None]          # [G, C, F]
     return SrpPlan(n_fft=n_fft, azimuths_rad=az,
                    e_re=e_re, e_im=e_im,
                    steer_re=np.cos(phase).astype(np.float32),
-                   steer_im=np.sin(phase).astype(np.float32))
+                   steer_im=np.sin(phase).astype(np.float32),
+                   tau_pg=np.ascontiguousarray(
+                       geom.pair_tdoas(az).T).astype(np.float32),
+                   omega=omega.astype(np.float32),
+                   band_mask=band_mask)
 
 
 def srp_surface(spectra: jnp.ndarray, pairs: np.ndarray, plan: SrpPlan,
@@ -71,7 +83,26 @@ def srp_surface(spectra: jnp.ndarray, pairs: np.ndarray, plan: SrpPlan,
     gather, so the PHAT CPS lands directly in the [..., T, P, F] layout the
     steering matmul consumes ([..., T, P·F] is then a free reshape) — one
     small transpose instead of transposing the P/C-times-larger CPS tensor.
+
+    Backend (kernels.dispatch.srp_backend): "fused" runs the single-pass
+    Pallas kernel that keeps the CPS in VMEM and rematerialises the
+    steering phases on-chip (kernels/srp_fused.py); otherwise the CPS is
+    materialised and fed to the dual steering matmul (XLA or Pallas).
     """
+    if dispatch.srp_backend() == "fused" and plan.tau_pg is not None:
+        from mcax.kernels import srp_fused
+        *lead, c, t, f = spectra.shape
+        m = int(np.prod([*lead, t])) if (lead or t) else 1
+        # channel-major [C, M, F]: the pipeline's native layout, no
+        # transpose needed (lead/batch axes fold into M)
+        sc = (jnp.moveaxis(spectra, -3, 0).reshape(c, m, f)
+              if lead else spectra)
+        if plan.band_mask is not None:
+            sc = sc * jnp.asarray(plan.band_mask)          # masked bins → 0
+        out = srp_fused.srp_power_fused(
+            jnp.real(sc), jnp.imag(sc), pairs, plan.tau_pg, plan.omega,
+            len(plan.azimuths_rad), eps)
+        return out.reshape(*lead, t, out.shape[-1])
     st = jnp.moveaxis(spectra, -3, -2)                     # [..., T, C, F]
     i = jnp.asarray(pairs[:, 0])
     j = jnp.asarray(pairs[:, 1])

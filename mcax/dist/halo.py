@@ -23,6 +23,20 @@ def _shift_right_perm(n: int):
     return [(i, i + 1) for i in range(n - 1)]
 
 
+def _push_right(payload: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Send payload one shard rightward; returns the left neighbor's.
+
+    Implementation picked by MCAX_HALO (halo_rdma.halo_impl): the default
+    ``ppermute`` open chain (zeros into shard 0), or the Pallas async
+    remote-DMA ring (``rdma`` — shard 0 receives shard n-1's payload,
+    which every caller overwrites with carry state, so the two agree)."""
+    from mcax.dist import halo_rdma
+    if halo_rdma.halo_impl() == "rdma":
+        return halo_rdma.ring_push_right(payload, axis)
+    n = lax.axis_size(axis)
+    return lax.ppermute(payload, axis, _shift_right_perm(n))
+
+
 def left_halo(samples_local: jnp.ndarray, halo_len: int,
               carry_replicated: jnp.ndarray,
               axis: str = TIME_AXIS) -> jnp.ndarray:
@@ -40,7 +54,7 @@ def left_halo(samples_local: jnp.ndarray, halo_len: int,
     if n == 1:
         return jnp.concatenate([carry_replicated, samples_local], axis=-1)
     tail = samples_local[..., -halo_len:]
-    recv = lax.ppermute(tail, axis, _shift_right_perm(n))  # zeros into shard 0
+    recv = _push_right(tail, axis)         # shard 0's recv is overwritten
     idx = lax.axis_index(axis)
     left = jnp.where(idx == 0, carry_replicated, recv)
     return jnp.concatenate([left, samples_local], axis=-1)
@@ -73,7 +87,7 @@ def ola_tail_exchange(full_local: jnp.ndarray, out_len: int,
         out = full_local[..., :out_len].at[..., :spill].add(state_tail)
         return out, tail_out
     idx = lax.axis_index(axis)
-    recv = lax.ppermute(tail_out, axis, _shift_right_perm(n))
+    recv = _push_right(tail_out, axis)
     incoming = jnp.where(idx == 0, state_tail, recv)
     out = full_local[..., :out_len].at[..., :spill].add(incoming)
     # replicate the last shard's spill as the next block's streaming tail

@@ -44,6 +44,29 @@ def use_pallas() -> bool:
     return get_backend() == "pallas"
 
 
+def srp_backend() -> str:
+    """SRP steered-power backend: ``fused`` | ``matmul`` | ``xla`` | ``auto``.
+
+    ``fused``  — single-pass Pallas kernel: CPS stays in VMEM, steering
+                 phases rematerialised on-chip (kernels/srp_fused.py).
+    ``matmul`` — CPS materialised + Pallas K-accumulated dual matmul.
+    ``xla``    — CPS materialised + plain jnp matmuls (one XLA fusion).
+
+    ``auto`` picks the backend MEASURED fastest on this hardware class
+    (BENCH_DETAIL round 2, TPU v5e): the fused kernel wins at the batched
+    pipeline shapes because both materialising forms are HBM-bound on the
+    CPS round-trip; on non-TPU backends the XLA fusion wins (and the fused
+    kernel would need interpret mode anyway)."""
+    b = os.environ.get("MCAX_SRP", "auto").lower()
+    if b == "auto":
+        return "fused" if _auto_backend() == "pallas" else "xla"
+    if b == "pallas":                 # alias: the materialised-CPS kernel
+        return "matmul"
+    if b not in ("fused", "matmul", "xla"):
+        raise ValueError(f"MCAX_SRP must be fused|matmul|xla|auto, got {b!r}")
+    return b
+
+
 def interpret_mode() -> bool:
     """Run Pallas kernels in interpreter mode (CPU CI / debugging)."""
     return os.environ.get("MCAX_PALLAS_INTERPRET", "0") == "1"

@@ -1,0 +1,179 @@
+"""Fused SRP-PHAT steered-power kernel (C4+C6 native tier, single pass).
+
+The round-1 native tier ran SRP as two kernels — a VPU CPS+PHAT pass that
+MATERIALISES the [M, P, F] cross-power tensor to HBM (~350 MB round trip at
+the batched config-4 shape) and a dual steering matmul that re-reads it plus
+streams the precomputed [P*F, G] steering matrices (~45 MB per M-tile).
+Measured on the v5e, both it and the equivalent XLA fusion are HBM-bound at
+~20-30% of matmul speed-of-light (BENCH_DETAIL round 2).
+
+This kernel inverts the trade: steering phases are COMPUTED ON THE FLY
+inside the kernel (cos/sin of omega_f * tau_p[g]) so the big [P*F, G]
+steering matrices never exist — not in HBM, not even whole in VMEM.  Grid
+= (M-tiles, pairs) with the pair table scalar-prefetched into SMEM; per
+step the kernel
+
+  1. fetches the pair's two channel slices of the frame-major spectra
+     planes (BlockSpec index maps driven by the prefetched pair table),
+  2. computes the PHAT-weighted CPS for the pair in VMEM,
+  3. synthesises the pair's steering tile  e^{j omega tau}  from the tiny
+     [P, G] TDOA table + [1, F] omega row (cos/sin on the VPU — recomputed
+     once per (M-tile, pair), so LARGE M-tiles are the efficiency knob),
+  4. accumulates  Re(G . E)  with two MXU matmuls into the output tile,
+     which stays VMEM-resident across the whole inner pair loop.
+
+HBM traffic: spectra slices (2 channels x 2 planes per pair) + the [M, G]
+output once — no CPS tensor, no steering matrices.  Reference analogue:
+the mcarray SRP-PHAT module's (grid x pair x bin) triple loop (SURVEY.md
+§3.3), collapsed to MXU matmuls with the steering table rematerialised
+on-chip — a TPU-only design point (the C++/IPP reference has the opposite
+trade: memory is cheap there, FLOPs are not).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcax.kernels import dispatch
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _use_bf16() -> bool:
+    """bf16 MXU passes for the steering matmuls (fp32 accumulate).
+
+    ~6x faster MXU passes at ~2e-3 relative surface error.  On a real
+    acoustic source the SRP peak prominence dwarfs that, but on flat
+    (noise-only) surfaces it can move the argmax between near-tied bins —
+    so fp32 is the default and bf16 is an explicit speed knob
+    (MCAX_SRP_FUSED_BF16=1) for throughput-critical deployments."""
+    return os.environ.get("MCAX_SRP_FUSED_BF16", "0") == "1"
+
+
+def _pick_tb(f_pad: int, g_pad: int, vmem_budget=12 * 2 ** 20) -> int:
+    """M-rows per tile.  Resident per step: 4 spectra slices [tb, f_pad]
+    (double-buffered), the synthesised steering pair [f_pad, g_pad] x ~3
+    temporaries, CPS temporaries, and the [tb, g_pad] output accumulator.
+    Bigger tb = fewer cos/sin rematerialisations per pair — the dominant
+    overhead at small tiles (measured: tb=64 spends ~4 ms in
+    transcendentals at the batched config-4 shape; tb=384 ~0.3 ms)."""
+    def cost(tb):
+        spectra = 2 * 4 * tb * f_pad              # 4 slices, double-buffered
+        temps = 4 * tb * f_pad                    # gr/gi/w + cast
+        steer = 3 * f_pad * g_pad                 # ang + cos + sin
+        out = 2 * tb * g_pad
+        return 4 * (spectra + temps + steer + out)
+
+    tb = 512
+    while tb > _SUBLANE and cost(tb) > vmem_budget:
+        tb -= 128 if tb > 128 else tb // 2
+    return max(tb, _SUBLANE)
+
+
+def _fused_kernel(eps: float, bf16: bool,
+                  pairs_ref, ar_ref, ai_ref, br_ref, bi_ref,
+                  tau_ref, om_ref, out_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    ar, ai = ar_ref[0], ai_ref[0]                          # [tb, f_pad]
+    br, bi = br_ref[0], bi_ref[0]
+    gr = ar * br + ai * bi                                 # X_a conj(X_b)
+    gi = ai * br - ar * bi
+    w = 1.0 / (jnp.sqrt(gr * gr + gi * gi) + np.float32(eps))
+    gr = gr * w
+    gi = gi * w
+    # steering tile for this pair, synthesised on-chip:
+    # E[f, g] = e^{+j omega_f tau_k[g]}  (sign matches steer.py)
+    ang = om_ref[0, :][:, None] * tau_ref[k, :][None, :]   # [f_pad, g_pad]
+    er = jnp.cos(ang)
+    ei = jnp.sin(ang)
+    if bf16:
+        gr, gi = gr.astype(jnp.bfloat16), gi.astype(jnp.bfloat16)
+        er, ei = er.astype(jnp.bfloat16), ei.astype(jnp.bfloat16)
+    out_ref[...] += (
+        jnp.dot(gr, er, preferred_element_type=jnp.float32)
+        - jnp.dot(gi, ei, preferred_element_type=jnp.float32))
+
+
+def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
+                    pairs: np.ndarray, tau: np.ndarray, omega: np.ndarray,
+                    grid_points: int, eps: float) -> jnp.ndarray:
+    """Steered power from frame-major spectra planes.
+
+    Args:
+      st_re, st_im: float32 [C, M, F] (channel major — the pipeline's
+        native spectra layout, so no transpose is needed).
+      pairs: int32 [P, 2] host constant.
+      tau: float32 [P, G] pair TDOAs (seconds) for the azimuth grid.
+      omega: float32 [F] bin angular frequencies (rad/s).
+      grid_points: G.
+      eps: PHAT epsilon.
+    Returns:
+      float32 [M, G] steered response power.
+    """
+    c, m, f = st_re.shape
+    p = pairs.shape[0]
+    g = grid_points
+    f_pad = _round_up(f, _LANE)
+    g_pad = _round_up(g, _LANE)
+    tb = _pick_tb(f_pad, g_pad)
+    m_pad = _round_up(m, tb)
+
+    def prep(x):
+        return jnp.pad(x, ((0, 0), (0, m_pad - m), (0, f_pad - f)))
+
+    tau_pad = np.zeros((p, g_pad), np.float32)
+    tau_pad[:, :g] = tau
+    om_pad = np.zeros((_SUBLANE, f_pad), np.float32)       # 8 rows: min tile
+    om_pad[0, :f] = omega
+
+    spec_a = pl.BlockSpec((1, tb, f_pad), lambda i, k, ps: (ps[k, 0], i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((1, tb, f_pad), lambda i, k, ps: (ps[k, 1], i, 0),
+                          memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                             # pairs -> SMEM
+        grid=(m_pad // tb, p),
+        in_specs=[
+            spec_a, spec_a,                                # re/im of chan a
+            spec_b, spec_b,                                # re/im of chan b
+            pl.BlockSpec((p, g_pad), lambda i, k, ps: (0, 0),
+                         memory_space=pltpu.VMEM),         # full tau table
+            pl.BlockSpec((_SUBLANE, f_pad), lambda i, k, ps: (0, 0),
+                         memory_space=pltpu.VMEM),         # omega row
+        ],
+        out_specs=pl.BlockSpec((tb, g_pad), lambda i, k, ps: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    sr, si = prep(st_re), prep(st_im)
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, float(eps), _use_bf16()),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, g_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m_pad * p * f_pad * g_pad,
+            bytes_accessed=4 * (4 * m_pad * f_pad * p + m_pad * g_pad),
+            transcendentals=2 * (m_pad // tb) * p * f_pad * g_pad,
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(jnp.asarray(pairs, jnp.int32), sr, si, sr, si,
+      jnp.asarray(tau_pad), jnp.asarray(om_pad))
+    return out[:m, :g]

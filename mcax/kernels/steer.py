@@ -45,21 +45,25 @@ def _steer_kernel(gr_ref, gi_ref, er_ref, ei_ref, out_ref):
     )
 
 
-def _pick_tiles(b: int, k: int, g: int, vmem_budget=8 * 2 ** 20):
-    """(tb, tk, tg) against the 16 MiB scoped-VMEM limit.  Resident fp32:
-    two [tb, tk] inputs, two [tk, tg] steering tiles, one [tb, tg] output,
-    all double-buffered by the pipeline; the budget is conservative (half
-    the limit) because Mosaic's stack accounting charges above the raw
-    plane bytes.  Shrink tk first — K is the streamed accumulation axis,
-    so smaller tk only adds grid steps, not extra HBM traffic."""
-    tb = min(_round_up(b, _SUBLANE), 256)
+def _pick_tiles(b: int, k: int, g: int, vmem_budget=12 * 2 ** 20):
+    """(tb, tk, tg) against the 16 MiB scoped-VMEM limit.
+
+    HBM-traffic model: the steering tiles stream once per M-tile (K is the
+    accumulation axis, G usually fits one tile), so traffic ≈
+    B/tb * 2*K*G*4 bytes + the two [B, K] input planes read once.  That
+    makes a LARGE tb the first priority (fewer E re-streams) and tk only a
+    VMEM knob — round 1's heuristic did the opposite (tb=128/tk=512 at the
+    batched M=1536 shape → 2.3x slower than XLA; tb=512/tk=512 beats it).
+    Resident fp32 per step: two [tb, tk] inputs, two [tk, tg] steering
+    tiles (double-buffered by the pipeline), one [tb, tg] accumulator."""
+    tb = min(_round_up(b, _SUBLANE), 512)
     tg = min(_round_up(g, _LANE), 512)
-    tk = min(_round_up(k, _LANE), 2048)
+    tk = min(_round_up(k, _LANE), 1024)
 
     def cost(tb_, tk_, tg_):
-        return 4 * 2 * (2 * tb_ * tk_ + 2 * tk_ * tg_ + tb_ * tg_)
+        return 4 * (2 * (2 * tb_ * tk_ + 2 * tk_ * tg_) + tb_ * tg_)
 
-    while cost(tb, tk, tg) > vmem_budget and tk > 512:
+    while cost(tb, tk, tg) > vmem_budget and tk > 256:
         tk //= 2
     while cost(tb, tk, tg) > vmem_budget and tb > 64:
         tb //= 2
@@ -133,7 +137,11 @@ def srp_power_flat(gr: jnp.ndarray, gi: jnp.ndarray, e_re: jnp.ndarray,
     *lead, t, k = gr.shape
     er = jnp.asarray(e_re)
     ei = jnp.asarray(e_im)
-    if dispatch.use_pallas():
+    # the hand-tiled Pallas matmul only when explicitly selected
+    # (MCAX_SRP=matmul): measured on v5e, XLA's own matmul pipelining beats
+    # it at every shipped shape (BENCH_DETAIL round 2), and the fused
+    # on-chip-steering kernel (srp_fused.py) beats both
+    if dispatch.use_pallas() and dispatch.srp_backend() == "matmul":
         b = int(np.prod([*lead, t])) if (lead or t) else 1
         out = _srp_power_pallas(gr.reshape(b, k), gi.reshape(b, k), er, ei)
         return out.reshape(*lead, t, er.shape[-1])

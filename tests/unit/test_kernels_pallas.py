@@ -35,6 +35,7 @@ def test_cps_phat_pallas_matches_jnp(monkeypatch):
 
 
 def test_srp_power_pallas_matches_jnp(monkeypatch):
+    monkeypatch.setenv("MCAX_SRP", "matmul")    # the hand-tiled kernel
     g = geo.ArrayGeometry(positions=geo.circular_positions(8, 0.05),
                           sample_rate=16000)
     az = geo.azimuth_grid(360)
@@ -45,9 +46,35 @@ def test_srp_power_pallas_matches_jnp(monkeypatch):
            + 1j * rng.standard_normal((p, 6, f))).astype(np.complex64)
     got = np.asarray(ksteer.srp_power(gph, e_re, e_im))
     monkeypatch.setenv("MCAX_BACKEND", "xla")
+    monkeypatch.setenv("MCAX_SRP", "xla")
     want = np.asarray(ksteer.srp_power(gph, e_re, e_im))
     assert got.shape == want.shape == (6, 360)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("c,radius,f,g_pts,m,band", [
+    (8, 0.05, 257, 360, 48, None),
+    (4, 0.05, 257, 180, 16, (300.0, 3400.0)),     # non-128-multiple grid
+    (16, 0.1, 129, 360, 24, None),                # config5 channel count
+])
+def test_srp_fused_matches_xla(monkeypatch, c, radius, f, g_pts, m, band):
+    """The single-pass fused kernel (on-chip CPS + rematerialised steering
+    phases) reproduces the materialised XLA path, including sub-band
+    masking and non-padded grid sizes."""
+    from mcax.algos import srp
+    geom = geo.ArrayGeometry(positions=geo.circular_positions(c, radius),
+                             sample_rate=16000)
+    plan = srp.make_plan(geom, (f - 1) * 2, g_pts, band_hz=band)
+    spec = _spec(c=c, t=m, f=f, seed=3)
+    import jax.numpy as jnp
+    monkeypatch.setenv("MCAX_SRP", "fused")
+    got = np.asarray(srp.srp_surface(jnp.asarray(spec), geom.pairs, plan))
+    monkeypatch.setenv("MCAX_SRP", "xla")
+    monkeypatch.setenv("MCAX_BACKEND", "xla")
+    want = np.asarray(srp.srp_surface(jnp.asarray(spec), geom.pairs, plan))
+    assert got.shape == want.shape == (m, g_pts)
+    scale = np.max(np.abs(want)) + 1e-12
+    np.testing.assert_allclose(got / scale, want / scale, atol=3e-6)
 
 
 def test_srp_power_pallas_ragged_sizes(monkeypatch):

@@ -121,6 +121,10 @@ def bench_fft(n=512, batch=8192):
 
 
 def bench_srp(c=8, t=96, f=257, g=360):
+    """SRP chain (pair gather → CPS+PHAT → dual steering matmul) on both
+    backends at the given shape.  t is the matmul M dimension — pass the
+    BATCHED shape (blocks*frames_per_block) to measure what the throughput
+    mode actually runs (VERDICT.md round-1 weak item 3)."""
     from mcax import geometry as geo
     from mcax.algos import srp
     from mcax.kernels import cps as kcps
@@ -137,13 +141,38 @@ def bench_srp(c=8, t=96, f=257, g=360):
         spec = jax.lax.complex(b[0], b[1])
         return srp.srp_surface(spec, geom.pairs, plan)
 
-    dt = fenced_timeit(srp_fn, both)
-    flops = 4.0 * t * (p * f) * g          # two real matmuls
     def cps_fn(b):
         return kcps.cps_phat(jax.lax.complex(b[0], b[1]), geom.pairs)
-    return {"srp_power_s": dt, "srp_gflops": flops / dt / 1e9,
-            "srp_pct_sol": round(100.0 * flops / dt / PEAK_FLOPS, 2),
-            "cps_phat_s": fenced_timeit(cps_fn, both)}
+
+    flops = 4.0 * t * (p * f) * g          # two real matmuls
+    res = {"shape": {"c": c, "m": t, "f": f, "g": g, "pairs": int(p)}}
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    prev = os.environ.get("MCAX_SRP")
+    # xla = materialised CPS + jnp matmuls; matmul = materialised CPS +
+    # hand-tiled Pallas dual matmul; fused = single-pass on-chip-steering
+    # Pallas kernel (the measured auto default on TPU)
+    for backend in (("xla", "matmul", "fused") if on_tpu else ("xla",)):
+        os.environ["MCAX_SRP"] = backend
+        if backend == "matmul":
+            os.environ["MCAX_BACKEND"] = "pallas"
+        try:
+            dt = fenced_timeit(srp_fn, both, iters=16, reps=2)
+            res[f"{backend}_srp_power_s"] = dt
+            res[f"{backend}_srp_gflops"] = flops / dt / 1e9
+            res[f"{backend}_srp_pct_sol"] = round(
+                100.0 * flops / dt / PEAK_FLOPS, 2)
+        finally:
+            os.environ.pop("MCAX_BACKEND", None)
+            if prev is None:
+                os.environ.pop("MCAX_SRP", None)
+            else:
+                os.environ["MCAX_SRP"] = prev
+    res["cps_phat_s"] = fenced_timeit(cps_fn, both, iters=16, reps=2)
+    # legacy keys (round-1 BENCH_DETAIL format) = the auto-default backend
+    best = "fused" if on_tpu else "xla"
+    for k in ("srp_power_s", "srp_gflops", "srp_pct_sol"):
+        res[k] = res[f"{best}_{k}"]
+    return res
 
 
 def _fence_tree(tree) -> float:
@@ -169,7 +198,7 @@ def bench_pipeline(name: str, nblocks=30, scan_batch=32, scan_iters=16):
         (pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
         for _ in range(4)]
     state = pipe.init_state()
-    for b in range(3):
+    for b in range(10):                          # program warm-up (PERF.md)
         state, out = pipe.process_block(state, blocks[b % 4])
     _fence_tree(out)
     t0 = time.perf_counter()
@@ -186,7 +215,11 @@ def bench_pipeline(name: str, nblocks=30, scan_batch=32, scan_iters=16):
     batch = jax.device_put(rng.standard_normal(
         (scan_batch, pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
     st2 = pipe.init_state()
-    st2, outs = pipe.process_blocks(st2, batch)
+    # several warm-up dispatches: the tunneled backend runs the first few
+    # executions of each program ~10x slow (measured round 2: config3's
+    # first timed round 111 ms/dispatch, steady state 6.8 ms)
+    for _ in range(6):
+        st2, outs = pipe.process_blocks(st2, batch)
     _fence_tree(outs)
     t0 = time.perf_counter()
     for _ in range(scan_iters):
@@ -200,11 +233,66 @@ def bench_pipeline(name: str, nblocks=30, scan_batch=32, scan_iters=16):
     return res
 
 
+def bench_sharded(name: str, mesh_arg: str, scan_batch=32, scan_iters=8):
+    """ShardedPipeline throughput on a TxC mesh (scaling harness, C15).
+
+    Reports samples/s over the whole mesh AND samples/s/device, plus the
+    scaling efficiency against the single-device Pipeline measured on the
+    SAME backend in the same process — the BASELINE.json:5 ">=80% scaling"
+    metric.  On the forced multi-device CPU mesh this measures collective
+    overhead (label it as such: CPU cores are not TPU chips); on a real
+    pod slice it is the true scaling number.
+    """
+    from mcax.config import get_config
+    from mcax.dist import mesh as mesh_mod
+    from mcax.dist.sharded import ShardedPipeline
+    from mcax.pipeline import Pipeline
+
+    cfg = get_config(name)
+    ts, cs = (int(v) for v in mesh_arg.lower().split("x"))
+    n_dev = ts * cs
+    mesh = mesh_mod.make_mesh(ts, cs)
+    rng = np.random.default_rng(0)
+    batch = jax.device_put(rng.standard_normal(
+        (scan_batch, cfg.array.num_mics, cfg.block_len)).astype(np.float32))
+
+    def timed(pipe):
+        st = pipe.init_state()
+        for _ in range(6):                       # program warm-up (PERF.md)
+            st, outs = pipe.process_blocks(st, batch)
+        _fence_tree(outs)
+        t0 = time.perf_counter()
+        for _ in range(scan_iters):
+            st, outs = pipe.process_blocks(st, batch)
+        _fence_tree(outs)
+        _fence_tree(st)
+        return scan_iters * scan_batch * cfg.block_len / (
+            time.perf_counter() - t0)
+
+    single_sps = timed(Pipeline(cfg, donate=False))
+    sharded_sps = timed(ShardedPipeline(cfg, mesh, donate=False))
+    per_dev = sharded_sps / n_dev
+    return {"mesh": f"{ts}x{cs}", "devices": n_dev,
+            "single_device_samples_per_s": round(single_sps, 1),
+            "sharded_samples_per_s": round(sharded_sps, 1),
+            "sharded_samples_per_s_per_device": round(per_dev, 1),
+            "scaling_efficiency_pct": round(100.0 * per_dev / single_sps, 1),
+            "note": ("virtual CPU mesh: measures collective overhead, not "
+                     "chip scaling" if jax.default_backend() == "cpu"
+                     else "real accelerator mesh")}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="*", default=["config1", "config3",
                                                      "config4"])
     ap.add_argument("--skip-kernels", action="store_true")
+    ap.add_argument("--mesh", default=None, metavar="TxC",
+                    help="also bench ShardedPipeline on this mesh and "
+                         "report scaling efficiency vs single device")
+    ap.add_argument("--batched-shapes", action="store_true",
+                    help="bench the SRP kernel at the *batched* pipeline "
+                         "shapes (M = blocks*frames) too")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     report = {"device": str(jax.devices()[0]),
@@ -214,8 +302,17 @@ def main(argv=None):
         report["fft_512"] = bench_fft(512)
         report["fft_1024"] = bench_fft(1024, batch=4096)
         report["srp"] = bench_srp()
+        if args.batched_shapes:
+            # the shapes the throughput mode actually runs (64-block
+            # dispatch): config4 = 8 mic / F=513 / M=64*24; config5 =
+            # 16 mic / F=257 / M=64*16
+            report["srp_config4_batched"] = bench_srp(c=8, t=1536, f=513)
+            report["srp_config5_batched"] = bench_srp(c=16, t=1024, f=257)
     for name in args.configs:
         report[name] = bench_pipeline(name)
+    if args.mesh:
+        report["scaling"] = {name: bench_sharded(name, args.mesh)
+                             for name in args.configs}
     text = json.dumps(report, indent=2)
     print(text)
     if args.out:
