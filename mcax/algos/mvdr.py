@@ -119,6 +119,38 @@ def weights(cov: jnp.ndarray, steer: jnp.ndarray, diag_load: float) -> jnp.ndarr
     return jnp.moveaxis(w, -1, -2)                         # [..., C, F]
 
 
+def weights_blocks(covs: jnp.ndarray, steer: jnp.ndarray,
+                   diag_load: float) -> jnp.ndarray:
+    """MVDR weights for a batch of blocks — the throughput-mode form.
+
+    Args:
+      covs: complex64 [B, F, C, C] per-block covariances.
+      steer: complex64 [B, (S,) C, F] per-block steering vectors (optional
+        source axes between B and C).
+    Returns:
+      w: complex64 [B, (S,) C, F].
+
+    Equivalent to ``vmap(weights)`` but factorises on the FLAT [B*F, C, C]
+    batch: measured on the v5e, XLA runs the unrolled Cholesky 4x faster
+    on the flat batch than on the nested [B, F, C, C] one (config5's
+    dominant cost, VERDICT.md round-1 item 3), and the factorisation is
+    still shared across all source axes.
+    """
+    b, f, c, _ = covs.shape
+    r = cov_mod.loaded(covs, diag_load)                    # [B, F, C, C]
+    chol = _cholesky_complex_unrolled(
+        r.reshape(b * f, c, c)).reshape(r.shape)
+    d = jnp.moveaxis(steer, -1, -2)                        # [B, (S,) F, C]
+    extra = d.ndim - 3                                     # source axes
+    cholb = chol.reshape(b, *([1] * extra), f, c, c)
+    y = _solve_lower_complex(cholb, d, adjoint=False)
+    y = _solve_lower_complex(cholb, y, adjoint=True)
+    denom = jnp.sum(jnp.conj(d) * y, axis=-1, keepdims=True)
+    denom = jnp.where(jnp.abs(denom) > 1e-12, denom,
+                      jnp.asarray(1e-12, denom.dtype))
+    return jnp.moveaxis(y / denom, -1, -2)                 # [B, (S,) C, F]
+
+
 def beamform(spectra: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Apply weights: Y = w^H X.
 

@@ -294,16 +294,19 @@ class ShardedPipeline:
             """Per-block prefix covariances across ALL shards' blocks: the
             local inclusive monoid prefix composed with the exclusive
             prefix of whole left shards (all-gather of shard aggregates)."""
-            decays, partials = jax.vmap(
-                lambda s: cov_mod.block_stats(s, cfg.algo.cov_forget)
-            )(spectra_blocks())                             # [Bl], [Bl,F,C,C]
+            t_ = cfg.frames_per_block
+            # local prefixes with zero seed = the monoid's P side; the
+            # decay side is closed-form (every block decays by lam^T)
+            ploc = cov_mod.block_prefixes(spectra, None,
+                                          cfg.algo.cov_forget, t_)
+            dloc = jnp.float32(cfg.algo.cov_forget) ** (
+                t_ * (jnp.arange(bl, dtype=jnp.float32) + 1.0))
 
             def combine(lhs, rhs):
                 d1, p1 = lhs
                 d2, p2 = rhs
                 return d1 * d2, d2[..., None, None, None].astype(p1.dtype) * p1 + p2
 
-            dloc, ploc = jax.lax.associative_scan(combine, (decays, partials))
             # shard aggregate = last local prefix; gather over 'time'
             dag = coll.gather(dloc[-1], TIME_AXIS, tiled=False)  # [st]
             pag = coll.gather(ploc[-1], TIME_AXIS, tiled=False)  # [st,F,C,C]
@@ -382,9 +385,9 @@ class ShardedPipeline:
 
         elif algo == "mvdr":
             covs, new_cov = block_covs()
-            steer_v = jnp.asarray(self.fixed_steer)
-            w = jax.vmap(lambda r: mvdr.weights(r, steer_v,
-                                                cfg.algo.diag_load))(covs)
+            steer_v = jnp.broadcast_to(jnp.asarray(self.fixed_steer),
+                                       (bl, *self.fixed_steer.shape))
+            w = mvdr.weights_blocks(covs, steer_v, cfg.algo.diag_load)
             y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)
             out["audio"], new_tail = resynth_stream(y.reshape(bt, f))
 
@@ -394,8 +397,7 @@ class ShardedPipeline:
             gidx = jnp.argmax(pmean, axis=-1)
             steer_v = srp.steering_vector(self.srp_plan, gidx)
             covs, new_cov = block_covs()
-            w = jax.vmap(lambda r, s: mvdr.weights(r, s, cfg.algo.diag_load)
-                         )(covs, steer_v)
+            w = mvdr.weights_blocks(covs, steer_v, cfg.algo.diag_load)
             y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)
             out["audio"], new_tail = resynth_stream(y.reshape(bt, f))
             out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
@@ -437,8 +439,7 @@ class ShardedPipeline:
             gidx = lax.dynamic_slice_in_dim(gidx_all, ti * bl, bl, axis=0)
             steer_v = srp.steering_vector(self.srp_plan, gidx)  # [Bl,S,C,F]
             covs, new_cov = block_covs()
-            w = jax.vmap(lambda r, s: mvdr.weights(r, s, cfg.algo.diag_load)
-                         )(covs, steer_v)
+            w = mvdr.weights_blocks(covs, steer_v, cfg.algo.diag_load)
             y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)    # [Bl,S,T,F]
             y_s = jnp.moveaxis(y, 1, 0).reshape(y.shape[1], bt, f)
             out["audio"], new_tail = resynth_stream(y_s)

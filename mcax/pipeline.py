@@ -206,20 +206,12 @@ class Pipeline:
             r = spectra.reshape(c, b, t, spectra.shape[-1])
             return jnp.moveaxis(r, 1, 0)
 
-        def block_covs(steer_shape_lead=None):
-            """Prefix covariances per block via the associative monoid
-            (R_b = d_b R_{b-1} + p_b  ⇒  R_b = D_b R_0 + P_b)."""
-            decays, partials = jax.vmap(
-                lambda s: cov_mod.block_stats(s, cfg.algo.cov_forget)
-            )(spectra_blocks())                              # [B], [B,F,C,C]
-
-            def combine(lhs, rhs):
-                d1, p1 = lhs
-                d2, p2 = rhs
-                return d1 * d2, d2[..., None, None, None].astype(p1.dtype) * p1 + p2
-
-            dpre, ppre = jax.lax.associative_scan(combine, (decays, partials))
-            return dpre[:, None, None, None].astype(cov0.dtype) * cov0 + ppre
+        def block_covs():
+            """Prefix covariances per block (R_b = lam^T R_{b-1} + p_b),
+            computed straight from the channel-major spectra — see
+            covariance.block_prefixes for the layout rationale."""
+            return cov_mod.block_prefixes(spectra, cov0,
+                                          cfg.algo.cov_forget, t)
 
         def resynth_stream(y):
             """y [..., B*T, F] → (out [B, ..., T*hop], new_tail): OLA over
@@ -281,9 +273,9 @@ class Pipeline:
         elif algo == "mvdr":
             covs = block_covs()                                # [B, F, C, C]
             new_cov = covs[-1]
-            steer = jnp.asarray(self.fixed_steer)
-            w = jax.vmap(lambda r: mvdr.weights(r, steer,
-                                                cfg.algo.diag_load))(covs)
+            steer = jnp.broadcast_to(jnp.asarray(self.fixed_steer),
+                                     (b, *self.fixed_steer.shape))
+            w = mvdr.weights_blocks(covs, steer, cfg.algo.diag_load)
             y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)   # [B, T, F]
             out["audio"], new_tail = resynth_stream(
                 y.reshape(bt, y.shape[-1]))
@@ -296,8 +288,8 @@ class Pipeline:
             steer = srp.steering_vector(self.srp_plan, gidx)   # [B, C, F]
             covs = block_covs()
             new_cov = covs[-1]
-            w = jax.vmap(lambda r, s: mvdr.weights(r, s, cfg.algo.diag_load)
-                         )(covs, steer)                        # [B, C, F]
+            w = mvdr.weights_blocks(covs, steer,
+                                    cfg.algo.diag_load)        # [B, C, F]
             y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)   # [B, T, F]
             out["audio"], new_tail = resynth_stream(
                 y.reshape(bt, y.shape[-1]))
@@ -335,8 +327,8 @@ class Pipeline:
             steer = srp.steering_vector(self.srp_plan, gidx)   # [B, S, C, F]
             covs = block_covs()
             new_cov = covs[-1]
-            w = jax.vmap(lambda r, s: mvdr.weights(r, s, cfg.algo.diag_load)
-                         )(covs, steer)                        # [B, S, C, F]
+            w = mvdr.weights_blocks(covs, steer,
+                                    cfg.algo.diag_load)        # [B, S, C, F]
             y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)   # [B, S, T, F]
             # per-source contiguous frame streams: [S, B*T, F]
             y_s = jnp.moveaxis(y, 1, 0).reshape(
