@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint if it exists")
     p.add_argument("--max-blocks", type=int, default=None)
+    p.add_argument("--blocks-per-dispatch", type=int, default=4,
+                   metavar="N",
+                   help="group N consecutive blocks into one device "
+                        "dispatch (process_blocks).  N>1 amortises the "
+                        "per-dispatch host round-trip (the latency floor on "
+                        "tunneled/remote backends, see PERF.md) at the cost "
+                        "of N blocks of output latency; N=1 is the "
+                        "lowest-latency per-block path")
     p.add_argument("--throttle", type=float, default=0.0, metavar="SECONDS",
                    help="sleep after each block (simulate a real-time feed)")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -132,35 +140,75 @@ def main(argv=None) -> int:
     audio_parts = []
     algo = cfg.algo.name
 
+    bpd = max(1, args.blocks_per_dispatch)
+    ckpts_done = 0
+
+    def _flush(group, state):
+        """Dispatch a group of consecutive blocks and emit per-block rows.
+
+        A full group of ``bpd`` blocks goes through ``process_blocks`` (one
+        device dispatch; out leaves gain a leading B axis); a single block —
+        including each block of a short final tail, dispatched one at a time
+        so the jitted [bpd, C, L] shape never retraces — goes through
+        ``process_block``.  This is the VERDICT round-1 item-8 device-side
+        N-block loop: the per-dispatch round-trip is paid once per N blocks.
+        """
+        idxs = [b for b, _ in group]
+        n = len(idxs)
+        with BlockTimer(cfg.sample_rate, cfg.block_len * n) as bt:
+            if n == 1:
+                state, out = pipe.process_block(state, group[0][1])
+                outs = [out]
+            else:
+                import jax
+                state, out = pipe.process_blocks(
+                    state, np.stack([blk for _, blk in group]))
+                outs = [jax.tree.map(lambda x, i=i: np.asarray(x)[i], out)
+                        for i in range(n)]
+        per_block = bt.elapsed / n
+        for b, o in zip(idxs, outs):
+            if "audio" in o:
+                audio_parts.append(np.asarray(o["audio"]))
+            rec = {"block": b, "latency_s": round(per_block, 6),
+                   "realtime_factor": round(bt.realtime_factor, 2)}
+            if doa_f:
+                for row in _doa_rows(algo, o, cfg, b):
+                    doa_f.write(",".join(str(v) for v in row) + "\n")
+            if "doa" in o:
+                rec["doa_deg"] = np.round(
+                    np.rad2deg(np.asarray(o["doa"])), 2).tolist()
+            metrics.write(rec)
+        return state, idxs[-1]
+
+    def _maybe_checkpoint(state, last_b):
+        nonlocal ckpts_done
+        done = last_b + 1 - start_block
+        if args.checkpoint and done // args.checkpoint_every > ckpts_done:
+            ckpts_done = done // args.checkpoint_every
+            ckpt.save(args.checkpoint, state, cfg.config_hash(),
+                      sample_cursor=(last_b + 1) * cfg.block_len)
+
     # double-buffered streaming feeder: the native (or scipy-fallback) reader
     # runs on a producer thread so disk I/O overlaps device compute
     blocks = stream_mod.prefetched(
         stream_mod.block_iterator(args.input, cfg.block_len, c_need))
+    pending = []
     try:
         for b, blk in enumerate(blocks):
             if b >= nblocks:
                 break
             if b < start_block:                   # resume: skip finished blocks
                 continue
-            with BlockTimer(cfg.sample_rate, cfg.block_len) as bt:
-                state, out = pipe.process_block(state, blk)
-                if "audio" in out:
-                    audio_parts.append(np.asarray(out["audio"]))
-            rec = {"block": b, "latency_s": round(bt.elapsed, 6),
-                   "realtime_factor": round(bt.realtime_factor, 2)}
-            if doa_f:
-                for row in _doa_rows(algo, out, cfg, b):
-                    doa_f.write(",".join(str(v) for v in row) + "\n")
-            if "doa" in out:
-                rec["doa_deg"] = np.round(
-                    np.rad2deg(np.asarray(out["doa"])), 2).tolist()
-            metrics.write(rec)
-            if (args.checkpoint and
-                    (b + 1 - start_block) % args.checkpoint_every == 0):
-                ckpt.save(args.checkpoint, state, cfg.config_hash(),
-                          sample_cursor=(b + 1) * cfg.block_len)
-            if args.throttle > 0:
-                time.sleep(args.throttle)
+            pending.append((b, blk))
+            if len(pending) == bpd:
+                state, last_b = _flush(pending, state)
+                pending = []
+                _maybe_checkpoint(state, last_b)
+                if args.throttle > 0:
+                    time.sleep(args.throttle)
+        for tail in pending:                      # tail shorter than bpd
+            state, last_b = _flush([tail], state)
+            _maybe_checkpoint(state, last_b)
         if args.checkpoint:
             ckpt.save(args.checkpoint, state, cfg.config_hash(),
                       sample_cursor=nblocks * cfg.block_len)

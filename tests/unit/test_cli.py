@@ -124,6 +124,22 @@ def test_cli_set_override(tmp_path):
     assert len(rows) > 1          # header + per-frame rows
 
 
+def test_cli_blocks_per_dispatch_matches_per_block(tmp_path):
+    """--blocks-per-dispatch N drives process_blocks (one dispatch per N
+    blocks, tail flushed block-wise) and matches the N=1 stream (VERDICT
+    round-1 item 8: the device-side N-block streaming loop)."""
+    path, cfg = _wav_for("config2", str(tmp_path), az_deg=25.0, nblocks=5)
+    outs = []
+    for n in ("1", "2"):
+        wav_out = os.path.join(tmp_path, f"out{n}.wav")
+        rc = cli_run.main([path, "--config", "config2", "--wav-out", wav_out,
+                           "--blocks-per-dispatch", n])
+        assert rc == 0
+        outs.append(read_wav(wav_out)[1])
+    assert outs[0].shape == outs[1].shape
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-4)
+
+
 def test_cli_mesh_end_to_end(tmp_path):
     """--mesh TxC reaches ShardedPipeline through the CLI wiring and still
     localises the injected source (VERDICT.md round-1 weak item 7)."""
