@@ -95,7 +95,10 @@ def _fused_kernel(eps: float, bf16: bool,
     br, bi = br_ref[0], bi_ref[0]
     gr = ar * br + ai * bi                                 # X_a conj(X_b)
     gi = ai * br - ar * bi
-    w = 1.0 / (jnp.sqrt(gr * gr + gi * gi) + np.float32(eps))
+    # pairs_ref col 2 = validity (0 for pad rows of a pair-sharded slice:
+    # their contribution must vanish; folded into the PHAT weight for free)
+    valid = pairs_ref[k, 2].astype(jnp.float32)
+    w = valid / (jnp.sqrt(gr * gr + gi * gi) + np.float32(eps))
     gr = gr * w
     gi = gi * w
     # steering tile for this pair, synthesised on-chip:
@@ -112,18 +115,24 @@ def _fused_kernel(eps: float, bf16: bool,
 
 
 def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
-                    pairs: np.ndarray, tau: np.ndarray, omega: np.ndarray,
-                    grid_points: int, eps: float) -> jnp.ndarray:
+                    pairs, tau, omega: np.ndarray,
+                    grid_points: int, eps: float,
+                    valid=None) -> jnp.ndarray:
     """Steered power from frame-major spectra planes.
 
     Args:
       st_re, st_im: float32 [C, M, F] (channel major — the pipeline's
         native spectra layout, so no transpose is needed).
-      pairs: int32 [P, 2] host constant.
-      tau: float32 [P, G] pair TDOAs (seconds) for the azimuth grid.
-      omega: float32 [F] bin angular frequencies (rad/s).
+      pairs: int32 [P, 2] — host constant OR a traced array (e.g. a
+        shard_map operand carrying this device's pair slice; the table
+        rides the scalar-prefetch path either way).
+      tau: float32 [P, G] pair TDOAs (seconds) for the azimuth grid
+        (host constant or traced per-shard slice).
+      omega: float32 [F] bin angular frequencies (rad/s) — host constant.
       grid_points: G.
       eps: PHAT epsilon.
+      valid: optional float32/int [P]; 0 kills a pair's contribution
+        (pair-axis padding of a sharded slice). None = all valid.
     Returns:
       float32 [M, G] steered response power.
     """
@@ -138,8 +147,13 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
     def prep(x):
         return jnp.pad(x, ((0, 0), (0, m_pad - m), (0, f_pad - f)))
 
-    tau_pad = np.zeros((p, g_pad), np.float32)
-    tau_pad[:, :g] = tau
+    tau_pad = jnp.pad(jnp.asarray(tau, jnp.float32),
+                      ((0, 0), (0, g_pad - g)))
+    if valid is None:
+        valid = jnp.ones((p,), jnp.int32)
+    ptab = jnp.concatenate(
+        [jnp.asarray(pairs, jnp.int32),
+         jnp.asarray(valid, jnp.int32)[:, None]], axis=1)  # [P, 3]
     om_pad = np.zeros((_SUBLANE, f_pad), np.float32)       # 8 rows: min tile
     om_pad[0, :f] = omega
 
@@ -174,6 +188,5 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
             transcendentals=2 * (m_pad // tb) * p * f_pad * g_pad,
         ),
         interpret=dispatch.interpret_mode(),
-    )(jnp.asarray(pairs, jnp.int32), sr, si, sr, si,
-      jnp.asarray(tau_pad), jnp.asarray(om_pad))
+    )(ptab, sr, si, sr, si, tau_pad, jnp.asarray(om_pad))
     return out[:m, :g]
