@@ -114,7 +114,7 @@ def _inv_matrices(n: int, f_pad: int, win_key: str = ""):
 
 def _rdft_kernel(x_ref, wr_ref, wi_ref, yr_ref, yi_ref):
     x = x_ref[...]
-    prec = jax.lax.Precision.HIGHEST   # true fp32 on the MXU (see _PREC)
+    prec = _prec()                     # true fp32 on the MXU by default
     yr_ref[...] = jnp.dot(x, wr_ref[...], preferred_element_type=jnp.float32,
                           precision=prec)
     yi_ref[...] = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32,
@@ -122,7 +122,7 @@ def _rdft_kernel(x_ref, wr_ref, wi_ref, yr_ref, yi_ref):
 
 
 def _irdft_kernel(yr_ref, yi_ref, ar_ref, ai_ref, x_ref):
-    prec = jax.lax.Precision.HIGHEST
+    prec = _prec()
     x_ref[...] = (
         jnp.dot(yr_ref[...], ar_ref[...], preferred_element_type=jnp.float32,
                 precision=prec)
@@ -228,23 +228,39 @@ def _irdft_pallas(yr2d: jnp.ndarray, yi2d: jnp.ndarray, n: int,
 # jnp matmul form (oracle for the Pallas kernels; portable fallback)
 # ---------------------------------------------------------------------------
 
-_PREC = jax.lax.Precision.HIGHEST     # keep the DFT in true fp32 on the MXU
-                                      # (TPU matmuls default to bf16 passes,
-                                      # which would cost ~40 dB of FFT SNR)
+def _prec():
+    """MXU pass count for the DFT matmuls (MCAX_FFT_PRECISION).
+
+    highest (default) — bf16x6 ≈ true fp32: 142 dB forward SNR.
+    high              — bf16x3: ~99 dB SNR, measured 1.26-1.28x faster at
+                        the shipped sizes (PERF.md round 3); beyond 16-bit
+                        audio's 96 dB floor, but below fp32 parity bounds,
+                        so it is an explicit speed knob, not the default.
+    default           — one bf16 pass: ~53 dB; diagnostics only.
+    """
+    import os
+    v = os.environ.get("MCAX_FFT_PRECISION", "highest").lower()
+    table = {"default": jax.lax.Precision.DEFAULT,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}
+    if v not in table:
+        raise ValueError(
+            f"MCAX_FFT_PRECISION must be default|high|highest, got {v!r}")
+    return table[v]
 
 
 def rfft_matmul(x: jnp.ndarray, window=None) -> jnp.ndarray:
     n = x.shape[-1]
     wr, wi = _fwd_matrices(n, n // 2 + 1, _register_window(window))
     x = x.astype(jnp.float32)
-    return jax.lax.complex(jnp.dot(x, wr, precision=_PREC),
-                           jnp.dot(x, wi, precision=_PREC))
+    return jax.lax.complex(jnp.dot(x, wr, precision=_prec()),
+                           jnp.dot(x, wi, precision=_prec()))
 
 
 def irfft_matmul(y: jnp.ndarray, n: int, window=None) -> jnp.ndarray:
     ar, ai = _inv_matrices(n, y.shape[-1], _register_window(window))
-    return (jnp.dot(jnp.real(y).astype(jnp.float32), ar, precision=_PREC)
-            + jnp.dot(jnp.imag(y).astype(jnp.float32), ai, precision=_PREC))
+    return (jnp.dot(jnp.real(y).astype(jnp.float32), ar, precision=_prec())
+            + jnp.dot(jnp.imag(y).astype(jnp.float32), ai, precision=_prec()))
 
 
 # ---------------------------------------------------------------------------
@@ -256,14 +272,19 @@ def rfft(x: jnp.ndarray, window=None) -> jnp.ndarray:
 
     ``window`` (optional [N] host array) is an analysis window applied to
     every frame; on the matmul-DFT paths it folds into the DFT matrix for
-    free, on the XLA-FFT path it is one explicit multiply."""
+    free, on the XLA-FFT path it is one explicit multiply.  Backend per
+    ``dispatch.fft_backend()`` — auto ships the measured winner per size
+    class (the XLA matmul emitter on TPU, jnp.fft elsewhere)."""
     n = x.shape[-1]
-    if dispatch.use_pallas():
+    b = dispatch.fft_backend()
+    if b == "pallas":
         lead = x.shape[:-1]
-        b = int(np.prod(lead)) if lead else 1
-        yr, yi = _rdft_pallas(x.reshape(b, n).astype(jnp.float32), n,
+        nb = int(np.prod(lead)) if lead else 1
+        yr, yi = _rdft_pallas(x.reshape(nb, n).astype(jnp.float32), n,
                               _register_window(window))
         return jax.lax.complex(yr, yi).reshape(*lead, n // 2 + 1)
+    if b == "matmul":
+        return rfft_matmul(x, window)
     if window is not None:
         x = x * jnp.asarray(window, jnp.float32)
     return jnp.fft.rfft(x.astype(jnp.float32)).astype(jnp.complex64)
@@ -273,14 +294,17 @@ def irfft(y: jnp.ndarray, n: int, window=None) -> jnp.ndarray:
     """Inverse real FFT over the last axis: [..., F] complex → [..., n]
     float32.  ``window`` (optional [n]) is a synthesis window applied to
     every output frame (folded into the inverse matrix on matmul paths)."""
-    if dispatch.use_pallas():
+    b = dispatch.fft_backend()
+    if b == "pallas":
         lead = y.shape[:-1]
-        b = int(np.prod(lead)) if lead else 1
+        nb = int(np.prod(lead)) if lead else 1
         f = y.shape[-1]
-        x = _irdft_pallas(jnp.real(y).reshape(b, f).astype(jnp.float32),
-                          jnp.imag(y).reshape(b, f).astype(jnp.float32), n,
+        x = _irdft_pallas(jnp.real(y).reshape(nb, f).astype(jnp.float32),
+                          jnp.imag(y).reshape(nb, f).astype(jnp.float32), n,
                           _register_window(window))
         return x.reshape(*lead, n)
+    if b == "matmul":
+        return irfft_matmul(y, n, window)
     out = jnp.fft.irfft(y, n=n).astype(jnp.float32)
     if window is not None:
         out = out * jnp.asarray(window, jnp.float32)

@@ -1,7 +1,45 @@
 import numpy as np
 import pytest
 
+from mcax.kernels import dispatch
 from mcax.kernels import fft as kfft
+
+
+def test_fft_backend_dispatch(monkeypatch):
+    """MCAX_FFT selects the FFT tier; auto ships the measured winner
+    (matmul on TPU, jnp.fft elsewhere); MCAX_BACKEND still forces a tier."""
+    monkeypatch.setenv("MCAX_FFT", "matmul")
+    assert dispatch.fft_backend() == "matmul"
+    monkeypatch.setenv("MCAX_FFT", "bogus")
+    with pytest.raises(ValueError):
+        dispatch.fft_backend()
+    monkeypatch.delenv("MCAX_FFT")
+    monkeypatch.setenv("MCAX_BACKEND", "pallas")
+    assert dispatch.fft_backend() == "pallas"
+    monkeypatch.setenv("MCAX_BACKEND", "xla")
+    assert dispatch.fft_backend() == "xla"
+    # the matmul route produces the same spectra as the xla route
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((4, 512)).astype(np.float32)
+    monkeypatch.setenv("MCAX_FFT", "matmul")
+    got = np.asarray(kfft.rfft(x))
+    np.testing.assert_allclose(got, np.fft.rfft(x, axis=-1), atol=2e-3)
+
+
+def test_fft_precision_knob(monkeypatch):
+    """MCAX_FFT_PRECISION=high (bf16x3) stays within ~99 dB of the fp64
+    reference — the measured 1.3x speed knob of PERF.md round 3."""
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((16, 512)).astype(np.float32)
+    want = np.fft.rfft(x.astype(np.float64), axis=-1)
+    monkeypatch.setenv("MCAX_FFT_PRECISION", "high")
+    got = np.asarray(kfft.rfft_matmul(x))
+    snr = 10 * np.log10(np.mean(np.abs(want) ** 2)
+                        / np.mean(np.abs(got - want) ** 2))
+    assert snr > 80.0, snr
+    monkeypatch.setenv("MCAX_FFT_PRECISION", "bogus")
+    with pytest.raises(ValueError):
+        kfft._prec()
 
 
 @pytest.mark.parametrize("n", [512, 1024])

@@ -117,6 +117,16 @@ def bench_fft(n=512, batch=8192):
     res["matmul_rfft_gflops"] = flops / res["matmul_rfft_s"] / 1e9
     res["matmul_rfft_pct_sol"] = round(
         100.0 * flops / res["matmul_rfft_s"] / PEAK_FLOPS, 2)
+    # the backend auto actually ships (dispatch.fft_backend) — BENCH_DETAIL
+    # must show it is the measured fastest path (VERDICT round-2 item 4)
+    from mcax.kernels import dispatch as kdisp
+    res["auto_backend"] = kdisp.fft_backend()
+    timed = {"pallas": res.get("pallas_rfft_s"),
+             "matmul": res["matmul_rfft_s"],
+             "xla": res["xla_rfft_s"]}
+    best = min((v, k) for k, v in timed.items() if v is not None)[1]
+    res["fastest_backend"] = best
+    res["auto_is_fastest"] = best == res["auto_backend"]
     return res
 
 
