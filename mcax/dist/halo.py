@@ -60,6 +60,47 @@ def left_halo(samples_local: jnp.ndarray, halo_len: int,
     return jnp.concatenate([left, samples_local], axis=-1)
 
 
+def stft_left_halo(samples_local: jnp.ndarray, halo_len: int,
+                   carry_replicated: jnp.ndarray, window, hop: int,
+                   axis: str = TIME_AXIS) -> jnp.ndarray:
+    """Halo exchange + STFT with comm/compute OVERLAP (SURVEY.md §5).
+
+    ``left_halo`` followed by a monolithic ``stft`` makes EVERY frame's
+    DFT data-depend on the ppermute, so XLA must finish the collective
+    before any compute starts.  Here only the first ``ceil(halo/hop)``
+    frames (one frame at 50% overlap) consume the received halo; the
+    remaining T-1 interior frames are transformed from purely local
+    samples with no data dependency on the exchange.  XLA's TPU scheduler
+    decomposes the ppermute into collective-permute-{start,done} and
+    hoists the interior framing+DFT matmuls between them, hiding the halo
+    latency behind ~(T-1)/T of the block's analysis FLOPs (VERDICT
+    round-2 missing item 3; the measured window is in PERF.md).
+
+    Frame math is per-row identical to the monolithic path, so outputs
+    are bit-identical (pinned by tests/dist/test_primitives.py).
+
+    Returns complex64 spectra [..., T, F] for the halo-extended signal.
+    """
+    from mcax.frames import stft as stft_mod
+    n = lax.axis_size(axis)
+    frame_len = int(window.shape[0])
+    if n == 1:
+        x = jnp.concatenate([carry_replicated, samples_local], axis=-1)
+        return stft_mod.stft(x, window, hop)
+    tail = samples_local[..., -halo_len:]
+    recv = _push_right(tail, axis)             # issued BEFORE interior work
+    idx = lax.axis_index(axis)
+    left = jnp.where(idx == 0, carry_replicated, recv)
+    n_halo = -(-halo_len // hop)               # frames touching the halo
+    off = n_halo * hop - halo_len              # first interior frame start
+    interior = stft_mod.stft(samples_local[..., off:], window, hop)
+    head_len = (n_halo - 1) * hop + frame_len - halo_len
+    head_sig = jnp.concatenate([left, samples_local[..., :head_len]],
+                               axis=-1)
+    head = stft_mod.stft(head_sig, window, hop)
+    return jnp.concatenate([head, interior], axis=-2)
+
+
 def ola_tail_exchange(full_local: jnp.ndarray, out_len: int,
                       state_tail: jnp.ndarray,
                       axis: str = TIME_AXIS):

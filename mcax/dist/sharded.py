@@ -294,10 +294,11 @@ class ShardedPipeline:
 
         flat = jnp.moveaxis(samples_local, 1, 0).reshape(cl, bl * block_len)
         carry_local = lax.dynamic_slice(state.carry, (ci * cl, 0), (cl, lh))
-        x_local = halo_mod.left_halo(flat, lh, carry_local)
-        new_carry = self._replicate_carry(x_local[:, bt * hop:])
-
-        spectra_local = stft_mod.stft(x_local, self.win_a, hop)  # [cl, BlT, F]
+        # bt*hop == bl*block_len, so the next carry is just this shard's
+        # tail — independent of the halo exchange, like the interior STFT
+        new_carry = self._replicate_carry(flat[:, -lh:])
+        spectra_local = halo_mod.stft_left_halo(
+            flat, lh, carry_local, self.win_a, hop)              # [cl, BlT, F]
         spectra = self._gather_channels(spectra_local)           # [C, BlT, F]
         f = spectra.shape[-1]
 
@@ -566,13 +567,12 @@ class ShardedPipeline:
         ci = lax.axis_index(CHANNEL_AXIS)
 
         # ---- halo-extended local samples → local frames -> spectra ----
+        # (stft_left_halo keeps the interior frames' DFT independent of the
+        # halo ppermute so the scheduler overlaps comm with compute)
         carry_local = lax.dynamic_slice(state.carry, (ci * cl, 0), (cl, lh))
-        x_local = halo_mod.left_halo(samples_local, lh, carry_local)
-        t_local = cfg.frames_per_block // self.st
-        new_carry_local = x_local[:, t_local * hop:]
-        new_carry = self._replicate_carry(new_carry_local)
-
-        spectra_local = stft_mod.stft(x_local, self.win_a, hop)  # [Cl, Tl, F]
+        new_carry = self._replicate_carry(samples_local[:, -lh:])
+        spectra_local = halo_mod.stft_left_halo(
+            samples_local, lh, carry_local, self.win_a, hop)     # [Cl, Tl, F]
         spectra = self._gather_channels(spectra_local)           # [C, Tl, F]
 
         algo = cfg.algo.name

