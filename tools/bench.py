@@ -47,6 +47,8 @@ import jax.numpy as jnp
 import numpy as np
 
 PEAK_FLOPS = float(os.environ.get("MCAX_PEAK_FLOPS", 3.3e13))
+# HBM speed-of-light for traffic-bound kernels (TPU v5e ~819 GB/s)
+PEAK_HBM_BPS = float(os.environ.get("MCAX_PEAK_HBM_BPS", 8.19e11))
 
 
 def _probe(tree) -> jnp.ndarray:
@@ -185,6 +187,58 @@ def bench_srp(c=8, t=96, f=257, g=360):
     return res
 
 
+def bench_filterbank(f=257, n_mels=40, frames=65536, block=48000, fs=48000.0):
+    """Filterbank kernels vs speed-of-light (BASELINE.json:5 'FFT +
+    filterbank kernels measured against speed-of-light').
+
+    The mel bank is a skinny [B, F] @ [F, n_mels] matmul: arithmetic
+    intensity ≈ 2·F·M / 4(F+M) ≈ 17 FLOP/byte per row, far below the MXU
+    ridge point, so the honest roofline is HBM bandwidth, reported as
+    pct_hbm_sol alongside the (vacuous) matmul pct_sol.  The biquad is an
+    associative-scan linear recurrence — latency-bound, reported against
+    the same HBM model for its streamed bytes.
+
+    Caveat (measured round 3): the fenced in-graph scan harness has a
+    ~300-330 us per-iteration floor on the tunneled backend (a DEFAULT-
+    precision rDFT measures ~330 us at BOTH half and double the FLOPs),
+    so sub-floor kernels are benched at inflated batch sizes — frames
+    here is 8x the pipeline's per-dispatch frame count; per-frame cost
+    scales down linearly."""
+    from mcax.frames import filters
+    rng = np.random.default_rng(2)
+    res = {"shape": {"frames": frames, "f": f, "n_mels": n_mels,
+                     "block": block}}
+
+    w = filters.mel_filterbank((f - 1) * 2, n_mels, fs)
+    spec = jnp.asarray(rng.standard_normal((frames, f)).astype(np.float32))
+    dt = fenced_timeit(lambda s: filters.mel_energies(s, w), spec, iters=16,
+                       reps=2)
+    flops = 2.0 * frames * f * n_mels
+    traffic = 4.0 * frames * (f + n_mels)      # weights stay resident
+    res["mel_s"] = dt
+    res["mel_gflops"] = flops / dt / 1e9
+    res["mel_pct_sol"] = round(100.0 * flops / dt / PEAK_FLOPS, 2)
+    res["mel_gbps"] = traffic / dt / 1e9
+    res["mel_pct_hbm_sol"] = round(100.0 * traffic / dt / PEAK_HBM_BPS, 2)
+
+    b, a = filters.butter_lowpass_sos(4000.0, fs)
+    nch = 64
+    x = jnp.asarray(rng.standard_normal((nch, block)).astype(np.float32))
+    dt = fenced_timeit(lambda v: filters.biquad_apply(v, b, a), x, iters=8)
+    traffic = 4.0 * 2 * nch * block            # read + write the stream
+    res["biquad_s"] = dt
+    res["biquad_samples_per_s"] = nch * block / dt
+    res["biquad_pct_hbm_sol"] = round(100.0 * traffic / dt / PEAK_HBM_BPS, 2)
+
+    taps = np.hanning(64).astype(np.float32)
+    dt = fenced_timeit(lambda v: filters.fir_apply(v, taps), x, iters=8)
+    flops = 2.0 * nch * block * 64
+    res["fir64_s"] = dt
+    res["fir64_gflops"] = flops / dt / 1e9
+    res["fir64_pct_sol"] = round(100.0 * flops / dt / PEAK_FLOPS, 2)
+    return res
+
+
 def _fence_tree(tree) -> float:
     """Fence on an existing output pytree: fetch one real scalar element."""
     for leaf in jax.tree_util.tree_leaves(tree):
@@ -282,14 +336,25 @@ def bench_sharded(name: str, mesh_arg: str, scan_batch=32, scan_iters=8):
     single_sps = timed(Pipeline(cfg, donate=False))
     sharded_sps = timed(ShardedPipeline(cfg, mesh, donate=False))
     per_dev = sharded_sps / n_dev
-    return {"mesh": f"{ts}x{cs}", "devices": n_dev,
-            "single_device_samples_per_s": round(single_sps, 1),
-            "sharded_samples_per_s": round(sharded_sps, 1),
-            "sharded_samples_per_s_per_device": round(per_dev, 1),
-            "scaling_efficiency_pct": round(100.0 * per_dev / single_sps, 1),
-            "note": ("virtual CPU mesh: measures collective overhead, not "
-                     "chip scaling" if jax.default_backend() == "cpu"
-                     else "real accelerator mesh")}
+    res = {"mesh": f"{ts}x{cs}", "devices": n_dev,
+           "single_device_samples_per_s": round(single_sps, 1),
+           "sharded_samples_per_s": round(sharded_sps, 1),
+           "sharded_samples_per_s_per_device": round(per_dev, 1),
+           "scaling_efficiency_pct": round(100.0 * per_dev / single_sps, 1)}
+    if jax.default_backend() == "cpu" and n_dev > 1:
+        # n virtual devices share ONE CPU's silicon, so per-device
+        # efficiency is capped at ~100/n % even with zero collective cost;
+        # efficiency/ceiling isolates the collective+reorg overhead, which
+        # IS the transferable signal from this environment
+        res["virtual_ceiling_pct"] = round(100.0 / n_dev, 1)
+        res["pct_of_virtual_ceiling"] = round(
+            100.0 * per_dev / single_sps * n_dev, 1)
+        res["note"] = ("virtual CPU mesh: same silicon under every device; "
+                       "pct_of_virtual_ceiling is the collective-overhead "
+                       "metric, not chip scaling")
+    else:
+        res["note"] = "real accelerator mesh"
+    return res
 
 
 def main(argv=None):
@@ -304,6 +369,14 @@ def main(argv=None):
                     help="bench the SRP kernel at the *batched* pipeline "
                          "shapes (M = blocks*frames) too")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--update", action="store_true",
+                    help="merge into an existing --out JSON instead of "
+                         "overwriting it (used to combine the on-chip kernel "
+                         "sweep with the virtual-CPU-mesh scaling rows, "
+                         "which necessarily run in different processes)")
+    ap.add_argument("--tag", default=None,
+                    help="nest this run's report under the given key "
+                         "(e.g. --tag scaling_virtual_8dev)")
     args = ap.parse_args(argv)
     report = {"device": str(jax.devices()[0]),
               "backend": jax.default_backend(),
@@ -311,6 +384,7 @@ def main(argv=None):
     if not args.skip_kernels:
         report["fft_512"] = bench_fft(512)
         report["fft_1024"] = bench_fft(1024, batch=4096)
+        report["filterbank"] = bench_filterbank()
         report["srp"] = bench_srp()
         if args.batched_shapes:
             # the shapes the throughput mode actually runs (64-block
@@ -323,6 +397,13 @@ def main(argv=None):
     if args.mesh:
         report["scaling"] = {name: bench_sharded(name, args.mesh)
                              for name in args.configs}
+    if args.tag:
+        report = {args.tag: report}
+    if args.update and args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
+        merged.update(report)
+        report = merged
     text = json.dumps(report, indent=2)
     print(text)
     if args.out:
