@@ -37,6 +37,18 @@ def _push_right(payload: jnp.ndarray, axis: str) -> jnp.ndarray:
     return lax.ppermute(payload, axis, _shift_right_perm(n))
 
 
+def _recv_left(samples_local: jnp.ndarray, halo_len: int,
+               carry_replicated: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """The halo-receive protocol: push this shard's tail rightward, take
+    the left neighbor's, and overwrite shard 0's with the streaming carry
+    (the contract both the ppermute chain and the rdma ring rely on).
+    Callers guarantee axis_size > 1."""
+    tail = samples_local[..., -halo_len:]
+    recv = _push_right(tail, axis)         # shard 0's recv is overwritten
+    idx = lax.axis_index(axis)
+    return jnp.where(idx == 0, carry_replicated, recv)
+
+
 def left_halo(samples_local: jnp.ndarray, halo_len: int,
               carry_replicated: jnp.ndarray,
               axis: str = TIME_AXIS) -> jnp.ndarray:
@@ -53,10 +65,7 @@ def left_halo(samples_local: jnp.ndarray, halo_len: int,
     n = lax.axis_size(axis)
     if n == 1:
         return jnp.concatenate([carry_replicated, samples_local], axis=-1)
-    tail = samples_local[..., -halo_len:]
-    recv = _push_right(tail, axis)         # shard 0's recv is overwritten
-    idx = lax.axis_index(axis)
-    left = jnp.where(idx == 0, carry_replicated, recv)
+    left = _recv_left(samples_local, halo_len, carry_replicated, axis)
     return jnp.concatenate([left, samples_local], axis=-1)
 
 
@@ -87,10 +96,7 @@ def stft_left_halo(samples_local: jnp.ndarray, halo_len: int,
     if n == 1:
         x = jnp.concatenate([carry_replicated, samples_local], axis=-1)
         return stft_mod.stft(x, window, hop)
-    tail = samples_local[..., -halo_len:]
-    recv = _push_right(tail, axis)             # issued BEFORE interior work
-    idx = lax.axis_index(axis)
-    left = jnp.where(idx == 0, carry_replicated, recv)
+    left = _recv_left(samples_local, halo_len, carry_replicated, axis)
     n_halo = -(-halo_len // hop)               # frames touching the halo
     off = n_halo * hop - halo_len              # first interior frame start
     interior = stft_mod.stft(samples_local[..., off:], window, hop)

@@ -83,11 +83,9 @@ def fft_backend() -> str:
     FFT so the kernel remains selectable/testable."""
     b = os.environ.get("MCAX_FFT", "auto").lower()
     if b == "auto":
-        forced = os.environ.get("MCAX_BACKEND", "auto").lower()
-        if forced == "pallas":
-            return "pallas"
-        if forced == "xla":
-            return "xla"
+        forced = get_backend()           # validates MCAX_BACKEND too
+        if os.environ.get("MCAX_BACKEND", "auto").lower() != "auto":
+            return forced                # explicit pallas|xla forces the tier
         return "matmul" if _auto_backend() == "pallas" else "xla"
     if b not in ("pallas", "matmul", "xla"):
         raise ValueError(f"MCAX_FFT must be pallas|matmul|xla|auto, got {b!r}")

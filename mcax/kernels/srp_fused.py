@@ -141,7 +141,10 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
     g = grid_points
     f_pad = _round_up(f, _LANE)
     g_pad = _round_up(g, _LANE)
-    tb = _pick_tb(f_pad, g_pad)
+    # never pad M past the actual frame count (the sharded scan path calls
+    # this with a handful of frames per block — padding to the VMEM-derived
+    # tile would multiply the MXU + transcendental work ~100x)
+    tb = min(_pick_tb(f_pad, g_pad), _round_up(m, _SUBLANE))
     m_pad = _round_up(m, tb)
 
     def prep(x):

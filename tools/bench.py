@@ -102,9 +102,9 @@ def bench_fft(n=512, batch=8192):
     flops = 4.0 * batch * n * f
     res["xla_rfft_s"] = fenced_timeit(jnp.fft.rfft, x)
     res["xla_rfft_gflops"] = flops / res["xla_rfft_s"] / 1e9
-    prev = os.environ.get("MCAX_BACKEND")
-    os.environ["MCAX_BACKEND"] = "pallas"
-    try:
+    prev = os.environ.get("MCAX_FFT")
+    os.environ["MCAX_FFT"] = "pallas"    # MCAX_FFT outranks MCAX_BACKEND in
+    try:                                 # fft_backend(), so force via it
         if jax.default_backend() in ("tpu", "axon"):
             res["pallas_rfft_s"] = fenced_timeit(kfft.rfft, x)
             res["pallas_rfft_gflops"] = flops / res["pallas_rfft_s"] / 1e9
@@ -112,9 +112,9 @@ def bench_fft(n=512, batch=8192):
                 100.0 * flops / res["pallas_rfft_s"] / PEAK_FLOPS, 2)
     finally:
         if prev is None:
-            os.environ.pop("MCAX_BACKEND", None)
+            os.environ.pop("MCAX_FFT", None)
         else:
-            os.environ["MCAX_BACKEND"] = prev
+            os.environ["MCAX_FFT"] = prev
     res["matmul_rfft_s"] = fenced_timeit(kfft.rfft_matmul, x)
     res["matmul_rfft_gflops"] = flops / res["matmul_rfft_s"] / 1e9
     res["matmul_rfft_pct_sol"] = round(
