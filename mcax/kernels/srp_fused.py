@@ -82,7 +82,10 @@ def _pick_tb(f_pad: int, g_pad: int, vmem_budget=12 * 2 ** 20) -> int:
     return max(tb, _SUBLANE)
 
 
-def _fused_kernel(eps: float, bf16: bool,
+_PHASOR_SUB = 16    # twiddle split: f = a*_PHASOR_SUB + b
+
+
+def _fused_kernel(eps: float, bf16: bool, domega,
                   pairs_ref, ar_ref, ai_ref, br_ref, bi_ref,
                   tau_ref, om_ref, out_ref):
     k = pl.program_id(1)
@@ -103,9 +106,32 @@ def _fused_kernel(eps: float, bf16: bool,
     gi = gi * w
     # steering tile for this pair, synthesised on-chip:
     # E[f, g] = e^{+j omega_f tau_k[g]}  (sign matches steer.py)
-    ang = om_ref[0, :][:, None] * tau_ref[k, :][None, :]   # [f_pad, g_pad]
-    er = jnp.cos(ang)
-    ei = jnp.sin(ang)
+    tau_row = tau_ref[k, :]                                # [g_pad]
+    fp = ar.shape[-1]
+    gp = tau_row.shape[-1]
+    if domega is not None:
+        # Two-level phasor factorisation: omega_f = f*domega and
+        # f = a*16 + b give E[f] = A[a]*B[b] with A = e^{j*16a*domega*tau},
+        # B = e^{j*b*domega*tau} — (fp/16 + 16) rows of cos/sin instead of
+        # fp rows (~11x fewer transcendentals, the kernel's dominant
+        # non-matmul cost), then one unit-phasor complex multiply per
+        # element (~1 ulp phase error).  The omega ramp continues past F
+        # into the pad rows, which multiply zeroed CPS — values moot.
+        na = fp // _PHASOR_SUB
+        ang_a = (jax.lax.broadcasted_iota(jnp.float32, (na, 1), 0)
+                 * np.float32(_PHASOR_SUB * domega)) * tau_row[None, :]
+        ang_b = (jax.lax.broadcasted_iota(jnp.float32, (_PHASOR_SUB, 1), 0)
+                 * np.float32(domega)) * tau_row[None, :]
+        ca, sa = jnp.cos(ang_a), jnp.sin(ang_a)            # [na, gp]
+        cb, sb = jnp.cos(ang_b), jnp.sin(ang_b)            # [16, gp]
+        er = (ca[:, None, :] * cb[None, :, :]
+              - sa[:, None, :] * sb[None, :, :]).reshape(fp, gp)
+        ei = (sa[:, None, :] * cb[None, :, :]
+              + ca[:, None, :] * sb[None, :, :]).reshape(fp, gp)
+    else:
+        ang = om_ref[0, :][:, None] * tau_row[None, :]     # [f_pad, g_pad]
+        er = jnp.cos(ang)
+        ei = jnp.sin(ang)
     if bf16:
         gr, gi = gr.astype(jnp.bfloat16), gi.astype(jnp.bfloat16)
         er, ei = er.astype(jnp.bfloat16), ei.astype(jnp.bfloat16)
@@ -159,6 +185,17 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
          jnp.asarray(valid, jnp.int32)[:, None]], axis=1)  # [P, 3]
     om_pad = np.zeros((_SUBLANE, f_pad), np.float32)       # 8 rows: min tile
     om_pad[0, :f] = omega
+    # rFFT bin frequencies are a linear ramp f*domega — detected here to
+    # enable the kernel's factorised phasor synthesis (direct cos/sin row
+    # fallback otherwise, or with MCAX_SRP_FUSED_PHASOR=0 for A/B runs)
+    om64 = np.asarray(omega, np.float64)
+    domega = None
+    if (om64.size > 1 and f_pad % _PHASOR_SUB == 0
+            and os.environ.get("MCAX_SRP_FUSED_PHASOR", "1") == "1"):
+        d = float(om64[1] - om64[0])
+        if np.allclose(om64, d * np.arange(om64.size),
+                       rtol=1e-9, atol=abs(d) * 1e-9):
+            domega = d
 
     spec_a = pl.BlockSpec((1, tb, f_pad), lambda i, k, ps: (ps[k, 0], i, 0),
                           memory_space=pltpu.VMEM)
@@ -180,7 +217,7 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
     )
     sr, si = prep(st_re), prep(st_im)
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, float(eps), _use_bf16()),
+        functools.partial(_fused_kernel, float(eps), _use_bf16(), domega),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, g_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -188,7 +225,9 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * p * f_pad * g_pad,
             bytes_accessed=4 * (4 * m_pad * f_pad * p + m_pad * g_pad),
-            transcendentals=2 * (m_pad // tb) * p * f_pad * g_pad,
+            transcendentals=2 * (m_pad // tb) * p * g_pad * (
+                f_pad // _PHASOR_SUB + _PHASOR_SUB if domega is not None
+                else f_pad),
         ),
         interpret=dispatch.interpret_mode(),
     )(ptab, sr, si, sr, si, tau_pad, jnp.asarray(om_pad))
