@@ -126,6 +126,18 @@ class PipelineConfig:
             raise ValueError("block_len must be a multiple of the STFT hop "
                              f"({self.block_len} % {self.stft.hop} != 0)")
 
+    def validate(self) -> "PipelineConfig":
+        """Cross-field checks, run when a pipeline consumes the config (not
+        in __post_init__: --set overrides apply one at a time, so
+        intermediate states may be transiently inconsistent)."""
+        from mcax.pipeline import _SYNTH_ALGOS
+        if self.algo.name in _SYNTH_ALGOS and not self.stft.synthesis:
+            raise ValueError(
+                f"algo {self.algo.name!r} produces audio and needs a "
+                "synthesis window: set stft.synthesis=true (the srp/gcc "
+                "analysis-only algos run with synthesis=false)")
+        return self
+
     def geometry(self) -> geo.ArrayGeometry:
         return self.array.geometry(self.sample_rate)
 

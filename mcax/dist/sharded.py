@@ -88,7 +88,7 @@ class ShardedPipeline:
         self.scan_mode = scan_mode
         from mcax.utils import cache as _cache
         _cache.enable()
-        self.cfg = cfg
+        self.cfg = cfg.validate()
         self.mesh = mesh
         self.st = mesh.shape[TIME_AXIS]
         self.sc = mesh.shape[CHANNEL_AXIS]

@@ -52,7 +52,7 @@ class Pipeline:
                  donate: bool = True, scan_mode: str = "batched"):
         from mcax.utils import cache as _cache
         _cache.enable()
-        self.cfg = cfg
+        self.cfg = cfg.validate()
         self.geom = cfg.geometry()
         self.pairs = self.geom.pairs
         s = cfg.stft
