@@ -82,6 +82,24 @@ def test_sharded_matches_single_device(name, ts, cs, keys, atol):
                                    atol=atol)
 
 
+def test_sharded_75pct_overlap_matches_single_device():
+    """Non-default hop (75% overlap → 3 halo frames per shard boundary)
+    through the whole distributed chain: halo exchange, overlapped STFT,
+    pair psum, OLA spill all must stay exact when halo_len > hop."""
+    cfg = cfg_mod.get_config("config2")
+    cfg = dataclasses.replace(
+        cfg, stft=dataclasses.replace(cfg.stft, hop=128))
+    nblocks = 3
+    x = _signal_for(cfg, nblocks)
+    ref_state, ref_outs = _run(Pipeline(cfg, donate=False), x, nblocks,
+                               cfg.block_len)
+    sp = ShardedPipeline(cfg, mesh_mod.make_mesh(4, 2), donate=False)
+    got_state, got_outs = _run(sp, x, nblocks, cfg.block_len)
+    _assert_close(ref_outs, got_outs, ["audio"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_state.ola_tail),
+                               np.asarray(ref_state.ola_tail), atol=1e-5)
+
+
 def test_sharded_fused_srp_matches_single_device(monkeypatch):
     """The fused single-pass SRP kernel under shard_map (pair slice via
     scalar prefetch, valid column masking the pad pairs) reproduces the
