@@ -77,6 +77,25 @@ def test_srp_fused_matches_xla(monkeypatch, c, radius, f, g_pts, m, band):
     np.testing.assert_allclose(got / scale, want / scale, atol=3e-6)
 
 
+def test_srp_fused_phasor_matches_direct(monkeypatch):
+    """The two-level phasor factorisation of the steering synthesis
+    (E[f]=A[f//16]*B[f%16], ~11x fewer transcendentals) agrees with the
+    direct per-row cos/sin to ~ulp-level surface error."""
+    from mcax.algos import srp
+    geom = geo.ArrayGeometry(positions=geo.circular_positions(8, 0.05),
+                             sample_rate=16000)
+    plan = srp.make_plan(geom, 512, 360)
+    spec = _spec(c=8, t=24, f=257, seed=5)
+    import jax.numpy as jnp
+    monkeypatch.setenv("MCAX_SRP", "fused")
+    monkeypatch.setenv("MCAX_SRP_FUSED_PHASOR", "1")
+    got = np.asarray(srp.srp_surface(jnp.asarray(spec), geom.pairs, plan))
+    monkeypatch.setenv("MCAX_SRP_FUSED_PHASOR", "0")
+    want = np.asarray(srp.srp_surface(jnp.asarray(spec), geom.pairs, plan))
+    scale = np.max(np.abs(want)) + 1e-12
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
+
+
 def test_srp_power_pallas_ragged_sizes(monkeypatch):
     """Non-lane-aligned K and G still pad/slice correctly."""
     rng = np.random.default_rng(2)
