@@ -297,44 +297,89 @@ def bench_pipeline(name: str, nblocks=30, scan_batch=32, scan_iters=16):
     return res
 
 
-def bench_sharded(name: str, mesh_arg: str, scan_batch=32, scan_iters=8):
-    """ShardedPipeline throughput on a TxC mesh (scaling harness, C15).
+def timed_pipeline(name: str, mesh_arg=None, scan_batch=32, scan_iters=8,
+                   reps=3):
+    """Median-of-reps throughput (samples/s) for one pipeline flavour:
+    the plain single-device Pipeline (``mesh_arg=None``) or ShardedPipeline
+    on a TxC mesh.  One flavour = one compiled program; run each flavour in
+    its OWN process on the tunneled backend (see bench_sharded)."""
+    import statistics
 
-    Reports samples/s over the whole mesh AND samples/s/device, plus the
-    scaling efficiency against the single-device Pipeline measured on the
-    SAME backend in the same process — the BASELINE.json:5 ">=80% scaling"
-    metric.  On the forced multi-device CPU mesh this measures collective
-    overhead (label it as such: CPU cores are not TPU chips); on a real
-    pod slice it is the true scaling number.
-    """
     from mcax.config import get_config
     from mcax.dist import mesh as mesh_mod
     from mcax.dist.sharded import ShardedPipeline
     from mcax.pipeline import Pipeline
 
     cfg = get_config(name)
-    ts, cs = (int(v) for v in mesh_arg.lower().split("x"))
-    n_dev = ts * cs
-    mesh = mesh_mod.make_mesh(ts, cs)
+    if mesh_arg is None:
+        pipe = Pipeline(cfg, donate=False)
+    else:
+        ts, cs = (int(v) for v in mesh_arg.lower().split("x"))
+        pipe = ShardedPipeline(cfg, mesh_mod.make_mesh(ts, cs), donate=False)
     rng = np.random.default_rng(0)
     batch = jax.device_put(rng.standard_normal(
         (scan_batch, cfg.array.num_mics, cfg.block_len)).astype(np.float32))
-
-    def timed(pipe):
-        st = pipe.init_state()
-        for _ in range(6):                       # program warm-up (PERF.md)
-            st, outs = pipe.process_blocks(st, batch)
-        _fence_tree(outs)
+    st = pipe.init_state()
+    for _ in range(6):                           # program warm-up (PERF.md)
+        st, outs = pipe.process_blocks(st, batch)
+    _fence_tree(outs)
+    vals = []
+    for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(scan_iters):
             st, outs = pipe.process_blocks(st, batch)
         _fence_tree(outs)
         _fence_tree(st)
-        return scan_iters * scan_batch * cfg.block_len / (
-            time.perf_counter() - t0)
+        vals.append(scan_iters * scan_batch * cfg.block_len / (
+            time.perf_counter() - t0))
+    return statistics.median(vals)
 
-    single_sps = timed(Pipeline(cfg, donate=False))
-    sharded_sps = timed(ShardedPipeline(cfg, mesh, donate=False))
+
+def _timed_subprocess(name: str, mesh_arg) -> float:
+    """timed_pipeline in a FRESH single-program process.
+
+    On the tunneled TPU backend, dispatch throughput is bimodal per
+    (process, program): a program alternating with another in one process
+    can latch the ~4x-slow mode for the whole timing (PERF.md round-2
+    'tunnel measurement hazards'; measured round 3: ShardedPipeline 1x1
+    config4 = 34.5 M samples/s alone in a process, 3.5 M when timed after
+    the plain Pipeline in the same process).  Scaling efficiency compares
+    two programs, so each gets its own process."""
+    import subprocess
+    import sys
+
+    args = [sys.executable, os.path.abspath(__file__), "--timed-one", name]
+    if mesh_arg is not None:
+        args += ["--mesh", mesh_arg]
+    out = subprocess.run(args, capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    return float(json.loads(out.stdout.strip().splitlines()[-1])
+                 ["samples_per_s"])
+
+
+def bench_sharded(name: str, mesh_arg: str, scan_batch=32, scan_iters=8):
+    """ShardedPipeline throughput on a TxC mesh (scaling harness, C15).
+
+    Reports samples/s over the whole mesh AND samples/s/device, plus the
+    scaling efficiency against the single-device Pipeline — the
+    BASELINE.json:5 ">=80% scaling" metric.  On the forced multi-device CPU
+    mesh this measures collective overhead (label it as such: CPU cores are
+    not TPU chips); on a real pod slice it is the true scaling number.
+
+    On TPU-like backends the two measurements run in separate fresh
+    processes (see _timed_subprocess); on CPU they run in-process (no
+    tunnel, and the forced-device-count flags would not survive a fresh
+    interpreter).
+    """
+    ts, cs = (int(v) for v in mesh_arg.lower().split("x"))
+    n_dev = ts * cs
+    if jax.default_backend() in ("tpu", "axon"):
+        single_sps = _timed_subprocess(name, None)
+        sharded_sps = _timed_subprocess(name, mesh_arg)
+    else:
+        single_sps = timed_pipeline(name, None, scan_batch, scan_iters)
+        sharded_sps = timed_pipeline(name, mesh_arg, scan_batch, scan_iters)
     per_dev = sharded_sps / n_dev
     res = {"mesh": f"{ts}x{cs}", "devices": n_dev,
            "single_device_samples_per_s": round(single_sps, 1),
@@ -353,7 +398,9 @@ def bench_sharded(name: str, mesh_arg: str, scan_batch=32, scan_iters=8):
                        "pct_of_virtual_ceiling is the collective-overhead "
                        "metric, not chip scaling")
     else:
-        res["note"] = "real accelerator mesh"
+        res["note"] = ("real accelerator mesh; each flavour timed in its "
+                       "own fresh process (median of reps) — see "
+                       "_timed_subprocess")
     return res
 
 
@@ -377,7 +424,16 @@ def main(argv=None):
     ap.add_argument("--tag", default=None,
                     help="nest this run's report under the given key "
                          "(e.g. --tag scaling_virtual_8dev)")
+    ap.add_argument("--timed-one", default=None, metavar="CONFIG",
+                    help="internal: time ONE pipeline flavour (plain, or "
+                         "sharded when --mesh is also given) and print "
+                         '{"samples_per_s": N} — used by bench_sharded to '
+                         "isolate each program in a fresh process")
     args = ap.parse_args(argv)
+    if args.timed_one:
+        print(json.dumps({"samples_per_s": round(
+            timed_pipeline(args.timed_one, args.mesh), 1)}))
+        return
     report = {"device": str(jax.devices()[0]),
               "backend": jax.default_backend(),
               "peak_flops_model": PEAK_FLOPS}
