@@ -83,7 +83,17 @@ def block_prefixes(spectra: jnp.ndarray, cov0, forget: float,
     batched shape; this one 6.2 ms — the associative scan's log-depth
     buys nothing at B<=256 elements of 1 MB while its combine passes and
     the extra relayouts cost 3.7x.
+
+    On TPU the whole function is replaced by the fused Pallas kernel
+    (kernels/covprefix.py, MCAX_COV knob): profiling showed THIS einsum
+    lowering — not its FLOPs — at ~45% of config4's batched dispatch
+    (six operand layout copies + a Karatsuba dot triple).
     """
+    from mcax.kernels import dispatch as _dispatch
+    if _dispatch.cov_backend() == "fused":
+        from mcax.kernels import covprefix
+        return covprefix.block_prefixes_fused(spectra, cov0, forget,
+                                              frames_per_block)
     c, m, f = spectra.shape
     t = frames_per_block
     b = m // t

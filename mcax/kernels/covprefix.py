@@ -1,0 +1,128 @@
+"""Fused per-block covariance-prefix kernel (C8 native tier).
+
+The batched throughput mode needs per-block prefix covariances
+``covs[b] = lam^T covs[b-1] + sum_t w_t x[b,t] x[b,t]^H`` (covariance.py
+``block_prefixes``).  As an einsum, XLA lowers the complex outer-product
+contraction (``btfc,btfd->bfcd``) to a Karatsuba triple of tiny-K
+"convolution" dots plus SIX full layout copies of the [B, T, F, C]
+operands — measured 4.8 ms standalone at the config-4 batched shape
+(B=64, T=24, F=513, C=8) where the arithmetic is worth ~25 us: the op is
+pure layout/HBM churn, ~45% of the whole on-device dispatch (profiled
+round 3, PERF.md).
+
+This kernel reads the spectra ONCE in their native channel-major layout
+and keeps everything else in VMEM: grid (F-tiles, B) with B innermost,
+the running prefix lives in a [2C^2, f_tile] scratch accumulator
+(re/im planes as rows, F down the lanes — the natural TPU layout for a
+tiny-C Hermitian bundle), the frame weights are synthesised from an iota,
+and each step does the C^2 weighted outer products as C sublane-broadcast
+multiply-reduces on the VPU.  HBM traffic: x in, prefixes out — no
+operand copies, no Karatsuba intermediates.
+
+Reference analogue: the recursive per-frame covariance update inside an
+MVDR beamformer (SURVEY.md §3.4) — the reference updates one [C, C]
+matrix per frame in place; the TPU-native form computes all B block
+prefixes in one pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mcax.kernels import dispatch
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(c: int, t: int, lam: float, xr_ref, xi_ref, cov0_ref,
+            out_ref, acc_ref):
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _seed():
+        acc_ref[...] = cov0_ref[...]
+
+    xr = xr_ref[:, 0]                                     # [C, T, ft]
+    xi = xi_ref[:, 0]
+    # w_t = (1-lam) * lam^{T-1-t}, synthesised on-chip (lam > 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0).astype(jnp.float32)
+    w = (np.float32(1.0 - lam)
+         * jnp.exp(np.float32(np.log(lam)) * (np.float32(t - 1) - k)))
+    xwr = xr * w                                          # [C, T, ft]
+    xwi = xi * w
+    rows = []
+    for ci in range(c):                                   # R[c,d] rows, c-major
+        rows.append(jnp.sum(xwr[ci][None] * xr + xwi[ci][None] * xi,
+                            axis=1))                      # [C, ft] re
+    for ci in range(c):
+        rows.append(jnp.sum(xwi[ci][None] * xr - xwr[ci][None] * xi,
+                            axis=1))                      # [C, ft] im
+    partial = jnp.concatenate(rows, axis=0)               # [2C^2, ft]
+    new = np.float32(lam ** t) * acc_ref[...] + partial
+    acc_ref[...] = new
+    out_ref[0] = new
+
+
+def block_prefixes_fused(spectra: jnp.ndarray, cov0, forget: float,
+                         frames_per_block: int) -> jnp.ndarray:
+    """Drop-in fused path for covariance.block_prefixes (same contract:
+    complex spectra [C, M, F] -> complex prefix covariances [B, F, C, C]).
+    Matches the einsum path to fp32 tolerance (t-summation order differs)."""
+    c, m, f = spectra.shape
+    t = frames_per_block
+    b = m // t
+    f_pad = _round_up(f, _LANE)
+    rows = 2 * c * c
+
+    def prep(x):
+        return jnp.pad(x.reshape(c, b, t, f),
+                       ((0, 0), (0, 0), (0, 0), (0, f_pad - f)))
+
+    xr, xi = prep(jnp.real(spectra)), prep(jnp.imag(spectra))
+    if cov0 is None:
+        cov0_rows = jnp.zeros((rows, f_pad), jnp.float32)
+    else:                                                 # [F, C, C] complex
+        cr = jnp.moveaxis(jnp.real(cov0), 0, -1).reshape(c * c, f)
+        ci = jnp.moveaxis(jnp.imag(cov0), 0, -1).reshape(c * c, f)
+        cov0_rows = jnp.pad(jnp.concatenate([cr, ci], axis=0),
+                            ((0, 0), (0, f_pad - f)))
+
+    grid = (f_pad // _LANE, b)
+    out = pl.pallas_call(
+        functools.partial(_kernel, c, t, float(forget)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c, 1, t, _LANE), lambda ft, bb: (0, bb, 0, ft),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, t, _LANE), lambda ft, bb: (0, bb, 0, ft),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _LANE), lambda ft, bb: (0, ft),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, _LANE), lambda ft, bb: (bb, 0, ft),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, rows, f_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, _LANE), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * c * c * t * f_pad,
+            bytes_accessed=4 * (2 * c * m * f_pad + b * rows * f_pad),
+            transcendentals=grid[0] * b * t,
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xr, xi, cov0_rows)
+
+    re = out[:, :c * c, :f].reshape(b, c, c, f)
+    im = out[:, c * c:, :f].reshape(b, c, c, f)
+    return jax.lax.complex(jnp.moveaxis(re, -1, 1), jnp.moveaxis(im, -1, 1))

@@ -92,6 +92,28 @@ def fft_backend() -> str:
     return b
 
 
+def cov_backend() -> str:
+    """Covariance block-prefix backend: ``fused`` | ``xla`` | ``auto``.
+
+    ``fused`` — single-pass Pallas kernel (kernels/covprefix.py): spectra
+                read once in channel-major layout, outer products + the
+                cross-block prefix recursion accumulated in VMEM.
+    ``xla``   — the one-einsum + lax.scan form (the CPU/oracle path).
+
+    ``auto`` picks the MEASURED winner: on TPU v5e the einsum lowers to a
+    Karatsuba dot triple plus six operand layout copies (4.8 ms standalone
+    at the config-4 batched shape vs ~25 us of arithmetic — profiled
+    round 3, PERF.md), so the fused kernel ships there; elsewhere XLA."""
+    v = os.environ.get("MCAX_COV", "auto").lower()
+    if v == "auto":
+        return "fused" if _auto_backend() == "pallas" else "xla"
+    if v == "pallas":                 # alias, consistent with MCAX_SRP
+        return "fused"
+    if v not in ("fused", "xla"):
+        raise ValueError(f"MCAX_COV must be fused|xla|auto, got {v!r}")
+    return v
+
+
 def interpret_mode() -> bool:
     """Run Pallas kernels in interpreter mode (CPU CI / debugging)."""
     return os.environ.get("MCAX_PALLAS_INTERPRET", "0") == "1"
