@@ -78,6 +78,10 @@ def block_prefixes_fused(spectra: jnp.ndarray, cov0, forget: float,
     """Drop-in fused path for covariance.block_prefixes (same contract:
     complex spectra [C, M, F] -> complex prefix covariances [B, F, C, C]).
     Matches the einsum path to fp32 tolerance (t-summation order differs)."""
+    if not 0.0 < forget <= 1.0:
+        # The on-chip weight synthesis uses exp(log(lam)·k); lam=0 would
+        # yield log(0)·0 = NaN where the direct lam**k form gives 1.
+        raise ValueError(f"forget must be in (0, 1], got {forget}")
     c, m, f = spectra.shape
     t = frames_per_block
     b = m // t

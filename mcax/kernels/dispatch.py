@@ -59,6 +59,11 @@ def srp_backend() -> str:
     kernel would need interpret mode anyway)."""
     b = os.environ.get("MCAX_SRP", "auto").lower()
     if b == "auto":
+        forced = get_backend()           # validates MCAX_BACKEND too
+        if os.environ.get("MCAX_BACKEND", "auto").lower() != "auto":
+            # The global escape hatch covers every kernel family:
+            # MCAX_BACKEND=xla forces the jnp path, =pallas the fused one.
+            return "fused" if forced == "pallas" else "xla"
         return "fused" if _auto_backend() == "pallas" else "xla"
     if b == "pallas":                 # alias: the materialised-CPS kernel
         return "matmul"
@@ -106,6 +111,11 @@ def cov_backend() -> str:
     round 3, PERF.md), so the fused kernel ships there; elsewhere XLA."""
     v = os.environ.get("MCAX_COV", "auto").lower()
     if v == "auto":
+        forced = get_backend()           # validates MCAX_BACKEND too
+        if os.environ.get("MCAX_BACKEND", "auto").lower() != "auto":
+            # An explicit MCAX_BACKEND=xla is the global correctness
+            # escape hatch; it must disable the fused cov kernel too.
+            return "fused" if forced == "pallas" else "xla"
         return "fused" if _auto_backend() == "pallas" else "xla"
     if v == "pallas":                 # alias, consistent with MCAX_SRP
         return "fused"

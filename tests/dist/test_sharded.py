@@ -141,6 +141,32 @@ def test_sharded_fused_srp_batched_mode(monkeypatch):
                                    rtol=3e-5, atol=5e-4, err_msg=k)
 
 
+def test_sharded_fused_cov_batched_mode(monkeypatch):
+    """The fused covariance-prefix Pallas kernel dispatched INSIDE
+    shard_map (block_covs path): the xla einsum there needed a vma
+    workaround (covariance.py block_prefixes init), so the pallas_call's
+    behavior under shard_map gets its own interpret-mode coverage
+    (ADVICE round 3, low #5)."""
+    cfg = cfg_mod.get_config("config4")
+    nblocks = 2
+    x = _signal_for(cfg, nblocks)
+    blocks = np.stack([x[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+                       for b in range(nblocks)])
+    monkeypatch.setenv("MCAX_COV", "xla")
+    ref_pipe = Pipeline(cfg, donate=False)
+    ref_st, ref_outs = ref_pipe.process_blocks(ref_pipe.init_state(), blocks)
+    ref_outs = jax.tree_util.tree_map(np.asarray, ref_outs)
+    monkeypatch.setenv("MCAX_COV", "fused")
+    monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
+    sp = ShardedPipeline(cfg, mesh_mod.make_mesh(2, 4), donate=False)
+    got_st, got_outs = sp.process_blocks(sp.init_state(), blocks)
+    for k in ("audio", "doa"):
+        np.testing.assert_allclose(np.asarray(got_outs[k]), ref_outs[k],
+                                   rtol=3e-5, atol=1e-4, err_msg=k)
+    np.testing.assert_allclose(np.asarray(got_st.cov),
+                               np.asarray(ref_st.cov), rtol=3e-5, atol=1e-4)
+
+
 def test_sharded_multiband_gcc_matches_single_device():
     """Multiband GCC in the sharded per-block (scan) step: the round-1
     silent fork (scan mode dropped algo.gcc_bands) is closed — both modes

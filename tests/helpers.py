@@ -71,6 +71,31 @@ def moving_sources(geom: geo.ArrayGeometry, az_start, az_end, n: int,
     return (out + noise).astype(np.float32)
 
 
+def to_host(x) -> np.ndarray:
+    """Fetch a device array to numpy, via re/im planes when complex.
+
+    The tunneled axon TPU backend raises UNIMPLEMENTED on complex64 host
+    transfers — the exact constraint that keeps every production jit
+    boundary real-valued (mcax.algos.covariance.to_planes).  Tests that
+    compare complex results must fetch them the same way so the on-chip
+    lane (MCAX_TEST_PLATFORM=tpu) runs on that backend too."""
+    import jax.numpy as jnp
+    if jnp.iscomplexobj(x):
+        return (np.asarray(jnp.real(x)).astype(np.complex128)
+                + 1j * np.asarray(jnp.imag(x)))
+    return np.asarray(x)
+
+
+def complex_to_device(a):
+    """Put a complex numpy array on device via two float32 transfers
+    (complex64 device transfers are UNIMPLEMENTED on the axon backend)."""
+    import jax
+    import jax.numpy as jnp
+    a = np.asarray(a)
+    return jax.lax.complex(jnp.asarray(np.real(a).astype(np.float32)),
+                           jnp.asarray(np.imag(a).astype(np.float32)))
+
+
 def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     """SNR of `test` against `reference` in dB (higher = closer)."""
     err = np.asarray(reference, np.float64) - np.asarray(test, np.float64)

@@ -1,8 +1,12 @@
+import jax
 import numpy as np
 import pytest
 
 from mcax.kernels import dispatch
 from mcax.kernels import fft as kfft
+from tests.helpers import complex_to_device, to_host
+
+_ON_TPU = jax.default_backend() in ("tpu", "axon")
 
 
 def test_fft_backend_dispatch(monkeypatch):
@@ -22,7 +26,7 @@ def test_fft_backend_dispatch(monkeypatch):
     rng = np.random.default_rng(7)
     x = rng.standard_normal((4, 512)).astype(np.float32)
     monkeypatch.setenv("MCAX_FFT", "matmul")
-    got = np.asarray(kfft.rfft(x))
+    got = to_host(kfft.rfft(x))
     np.testing.assert_allclose(got, np.fft.rfft(x, axis=-1), atol=2e-3)
 
 
@@ -33,7 +37,7 @@ def test_fft_precision_knob(monkeypatch):
     x = rng.standard_normal((16, 512)).astype(np.float32)
     want = np.fft.rfft(x.astype(np.float64), axis=-1)
     monkeypatch.setenv("MCAX_FFT_PRECISION", "high")
-    got = np.asarray(kfft.rfft_matmul(x))
+    got = to_host(kfft.rfft_matmul(x))
     snr = 10 * np.log10(np.mean(np.abs(want) ** 2)
                         / np.mean(np.abs(got - want) ** 2))
     assert snr > 80.0, snr
@@ -46,7 +50,7 @@ def test_fft_precision_knob(monkeypatch):
 def test_rfft_matmul_matches_numpy(n):
     rng = np.random.default_rng(0)
     x = rng.standard_normal((16, n)).astype(np.float32)
-    got = np.asarray(kfft.rfft_matmul(x))
+    got = to_host(kfft.rfft_matmul(x))
     want = np.fft.rfft(x.astype(np.float64), axis=-1)
     np.testing.assert_allclose(got, want, atol=2e-3)
 
@@ -55,7 +59,7 @@ def test_rfft_matmul_matches_numpy(n):
 def test_irfft_matmul_roundtrip(n):
     rng = np.random.default_rng(1)
     x = rng.standard_normal((8, n)).astype(np.float32)
-    y = np.fft.rfft(x, axis=-1).astype(np.complex64)
+    y = complex_to_device(np.fft.rfft(x, axis=-1).astype(np.complex64))
     got = np.asarray(kfft.irfft_matmul(y, n))
     np.testing.assert_allclose(got, x, atol=2e-3)
 
@@ -63,7 +67,7 @@ def test_irfft_matmul_roundtrip(n):
 def test_rfft_dispatch_xla():
     rng = np.random.default_rng(2)
     x = rng.standard_normal((4, 3, 512)).astype(np.float32)
-    got = np.asarray(kfft.rfft(x))
+    got = to_host(kfft.rfft(x))
     want = np.fft.rfft(x, axis=-1)
     np.testing.assert_allclose(got, want, atol=1e-3)
 
@@ -71,10 +75,11 @@ def test_rfft_dispatch_xla():
 @pytest.mark.parametrize("n", [512, 1024])
 def test_pallas_rfft_interpret(n, monkeypatch):
     monkeypatch.setenv("MCAX_BACKEND", "pallas")
-    monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
+    if not _ON_TPU:
+        monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
     rng = np.random.default_rng(3)
     x = rng.standard_normal((3, 5, n)).astype(np.float32)
-    got = np.asarray(kfft.rfft(x))
+    got = to_host(kfft.rfft(x))
     want = np.fft.rfft(x.astype(np.float64), axis=-1)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=3e-3)
@@ -83,9 +88,10 @@ def test_pallas_rfft_interpret(n, monkeypatch):
 @pytest.mark.parametrize("n", [512, 1024])
 def test_pallas_irfft_interpret(n, monkeypatch):
     monkeypatch.setenv("MCAX_BACKEND", "pallas")
-    monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
+    if not _ON_TPU:
+        monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
     rng = np.random.default_rng(4)
     x = rng.standard_normal((6, n)).astype(np.float32)
-    y = np.fft.rfft(x, axis=-1).astype(np.complex64)
+    y = complex_to_device(np.fft.rfft(x, axis=-1).astype(np.complex64))
     got = np.asarray(kfft.irfft(y, n))
     np.testing.assert_allclose(got, x, atol=3e-3)

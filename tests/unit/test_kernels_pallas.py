@@ -1,18 +1,25 @@
 """Pallas CPS+PHAT and steering-matmul kernels vs jnp, interpret mode
 (SURVEY.md §4.2.5: interpret=True on CPU, then on-device vs jnp)."""
 
+import jax
 import numpy as np
 import pytest
 
 from mcax import geometry as geo
 from mcax.kernels import cps as kcps
 from mcax.kernels import steer as ksteer
+from tests.helpers import complex_to_device, to_host
+
+_ON_TPU = jax.default_backend() in ("tpu", "axon")
 
 
 @pytest.fixture(autouse=True)
 def pallas_interpret(monkeypatch):
     monkeypatch.setenv("MCAX_BACKEND", "pallas")
-    monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
+    if not _ON_TPU:
+        # interpret mode is the CPU CI fake backend; on the real chip the
+        # compiled kernels themselves are under test (VERDICT r3 item 1)
+        monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
 
 
 def _spec(c=8, t=6, f=257, seed=0):
@@ -24,10 +31,10 @@ def _spec(c=8, t=6, f=257, seed=0):
 def test_cps_phat_pallas_matches_jnp(monkeypatch):
     g = geo.ArrayGeometry(positions=geo.circular_positions(8, 0.05),
                           sample_rate=16000)
-    spec = _spec()
-    got = np.asarray(kcps.cps_phat(spec, g.pairs))
+    spec = complex_to_device(_spec())
+    got = to_host(kcps.cps_phat(spec, g.pairs))
     monkeypatch.setenv("MCAX_BACKEND", "xla")
-    want = np.asarray(kcps.cps_phat(spec, g.pairs))
+    want = to_host(kcps.cps_phat(spec, g.pairs))
     assert got.shape == want.shape == (28, 6, 257)
     np.testing.assert_allclose(got, want, atol=2e-6)
     # PHAT output is unit-modulus (up to eps)
@@ -42,12 +49,12 @@ def test_srp_power_pallas_matches_jnp(monkeypatch):
     e_re, e_im = ksteer.steering_matrices(g, az, 512)
     rng = np.random.default_rng(1)
     p, f = 28, 257
-    gph = (rng.standard_normal((p, 6, f))
-           + 1j * rng.standard_normal((p, 6, f))).astype(np.complex64)
-    got = np.asarray(ksteer.srp_power(gph, e_re, e_im))
+    gph = complex_to_device((rng.standard_normal((p, 6, f))
+           + 1j * rng.standard_normal((p, 6, f))).astype(np.complex64))
+    got = to_host(ksteer.srp_power(gph, e_re, e_im))
     monkeypatch.setenv("MCAX_BACKEND", "xla")
     monkeypatch.setenv("MCAX_SRP", "xla")
-    want = np.asarray(ksteer.srp_power(gph, e_re, e_im))
+    want = to_host(ksteer.srp_power(gph, e_re, e_im))
     assert got.shape == want.shape == (6, 360)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
@@ -65,13 +72,12 @@ def test_srp_fused_matches_xla(monkeypatch, c, radius, f, g_pts, m, band):
     geom = geo.ArrayGeometry(positions=geo.circular_positions(c, radius),
                              sample_rate=16000)
     plan = srp.make_plan(geom, (f - 1) * 2, g_pts, band_hz=band)
-    spec = _spec(c=c, t=m, f=f, seed=3)
-    import jax.numpy as jnp
+    spec = complex_to_device(_spec(c=c, t=m, f=f, seed=3))
     monkeypatch.setenv("MCAX_SRP", "fused")
-    got = np.asarray(srp.srp_surface(jnp.asarray(spec), geom.pairs, plan))
+    got = to_host(srp.srp_surface(spec, geom.pairs, plan))
     monkeypatch.setenv("MCAX_SRP", "xla")
     monkeypatch.setenv("MCAX_BACKEND", "xla")
-    want = np.asarray(srp.srp_surface(jnp.asarray(spec), geom.pairs, plan))
+    want = to_host(srp.srp_surface(spec, geom.pairs, plan))
     assert got.shape == want.shape == (m, g_pts)
     scale = np.max(np.abs(want)) + 1e-12
     np.testing.assert_allclose(got / scale, want / scale, atol=3e-6)
@@ -85,13 +91,12 @@ def test_srp_fused_phasor_matches_direct(monkeypatch):
     geom = geo.ArrayGeometry(positions=geo.circular_positions(8, 0.05),
                              sample_rate=16000)
     plan = srp.make_plan(geom, 512, 360)
-    spec = _spec(c=8, t=24, f=257, seed=5)
-    import jax.numpy as jnp
+    spec = complex_to_device(_spec(c=8, t=24, f=257, seed=5))
     monkeypatch.setenv("MCAX_SRP", "fused")
     monkeypatch.setenv("MCAX_SRP_FUSED_PHASOR", "1")
-    got = np.asarray(srp.srp_surface(jnp.asarray(spec), geom.pairs, plan))
+    got = to_host(srp.srp_surface(spec, geom.pairs, plan))
     monkeypatch.setenv("MCAX_SRP_FUSED_PHASOR", "0")
-    want = np.asarray(srp.srp_surface(jnp.asarray(spec), geom.pairs, plan))
+    want = to_host(srp.srp_surface(spec, geom.pairs, plan))
     scale = np.max(np.abs(want)) + 1e-12
     np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
 
@@ -104,6 +109,6 @@ def test_srp_power_pallas_ragged_sizes(monkeypatch):
     gi = rng.standard_normal((b, k)).astype(np.float32)
     er = rng.standard_normal((k, g)).astype(np.float32)
     ei = rng.standard_normal((k, g)).astype(np.float32)
-    got = np.asarray(ksteer._srp_power_pallas(gr, gi, er, ei))
+    got = to_host(ksteer._srp_power_pallas(gr, gi, er, ei))
     want = gr @ er - gi @ ei
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
