@@ -316,19 +316,47 @@ class ShardedPipeline:
         def spectra_blocks():
             return jnp.moveaxis(spectra.reshape(c, bl, t, f), 1, 0)
 
+        # Frequency-sharded MVDR chain (VERDICT r3 item 3): per-bin
+        # covariance + Cholesky solve + beamform are independent across
+        # bins, so with channel shards present each shard takes F/sc bins
+        # instead of all sc shards repeating identical full-F work.  The
+        # only new collective is one all-gather of the beamformed spectrum
+        # slice (and of the F-sliced cov state) — a few hundred KB —
+        # replacing sc-fold replicated compute AND shrinking the
+        # covariance-monoid shard-aggregate gather by sc.
+        fshard = self.sc > 1 and algo in ("mvdr", "srp_mvdr", "track_mvdr")
+        if fshard:
+            fsl = -(-f // self.sc)
+            fpad = fsl * self.sc
+            pad_mask = (ci * fsl + jnp.arange(fsl) >= f
+                        ).astype(jnp.float32)                # [fsl]
+
+            def fslice(x, axis=-1):
+                ax = axis % x.ndim
+                pads = [(0, 0)] * x.ndim
+                pads[ax] = (0, fpad - f)
+                return lax.dynamic_slice_in_dim(jnp.pad(x, pads), ci * fsl,
+                                                fsl, axis=ax)
+
+            def fgather(x, axis=-1):
+                ax = axis % x.ndim
+                g = coll.gather(x, CHANNEL_AXIS, axis=ax, tiled=True)
+                return lax.slice_in_dim(g, 0, f, axis=ax)
+
         def pair_power():
             """Pair-sharded steered power over this shard's frames, summed
             over the 'channel' (pair) shards: [Bl*T, G]."""
             return self._srp_power(spectra, extra)
 
-        def block_covs():
+        def block_covs(spec, cov0_):
             """Per-block prefix covariances across ALL shards' blocks: the
             local inclusive monoid prefix composed with the exclusive
-            prefix of whole left shards (all-gather of shard aggregates)."""
+            prefix of whole left shards (all-gather of shard aggregates).
+            ``spec``/``cov0_`` may be F-sliced (fshard mode)."""
             t_ = cfg.frames_per_block
             # local prefixes with zero seed = the monoid's P side; the
             # decay side is closed-form (every block decays by lam^T)
-            ploc = cov_mod.block_prefixes(spectra, None,
+            ploc = cov_mod.block_prefixes(spec, None,
                                           cfg.algo.cov_forget, t_)
             dloc = jnp.float32(cfg.algo.cov_forget) ** (
                 t_ * (jnp.arange(bl, dtype=jnp.float32) + 1.0))
@@ -350,12 +378,33 @@ class ShardedPipeline:
             d_tot = d_exc * dloc                             # [Bl]
             p_tot = (dloc[..., None, None, None].astype(p_exc.dtype) * p_exc
                      + ploc)
-            covs = (d_tot[:, None, None, None].astype(cov0.dtype) * cov0
+            covs = (d_tot[:, None, None, None].astype(cov0_.dtype) * cov0_
                     + p_tot)
             # global final covariance = last shard's last block
             last = jnp.where(ti == self.st - 1, covs[-1],
                              jnp.zeros_like(covs[-1]))
             return covs, lax.psum(last, TIME_AXIS)
+
+        def mvdr_beamform(steer_full):
+            """covs → weights → beamform, returning (y [Bl,(S,),T,F],
+            new_cov [F,C,C]).  With channel shards the chain runs
+            frequency-sharded (see fshard above); without, the original
+            replicated full-F form."""
+            if not fshard:
+                covs, ncov = block_covs(spectra, cov0)
+                w = mvdr.weights_blocks(covs, steer_full, cfg.algo.diag_load)
+                return jax.vmap(mvdr.beamform)(spectra_blocks(), w), ncov
+            covs_f, ncov_f = block_covs(fslice(spectra),
+                                        fslice(cov0, axis=0))
+            # pad bins (global index >= F) carry zero covariance; pin them
+            # to the identity so the Cholesky stays finite (their steering
+            # is zero, so the solve output is discarded anyway)
+            covs_f = covs_f + (pad_mask[None, :, None, None]
+                               * jnp.eye(c, dtype=covs_f.dtype))
+            w = mvdr.weights_blocks(covs_f, fslice(steer_full),
+                                    cfg.algo.diag_load)
+            y_f = jax.vmap(mvdr.beamform)(fslice(spectra_blocks()), w)
+            return fgather(y_f), fgather(ncov_f, axis=0)
 
         def resynth_stream(y):
             """y [..., Bl*T, F] → (out [Bl, ..., T*hop], tail): local OLA,
@@ -415,11 +464,9 @@ class ShardedPipeline:
                                      jnp.float32)[gidx]
 
         elif algo == "mvdr":
-            covs, new_cov = block_covs()
             steer_v = jnp.broadcast_to(jnp.asarray(self.fixed_steer),
                                        (bl, *self.fixed_steer.shape))
-            w = mvdr.weights_blocks(covs, steer_v, cfg.algo.diag_load)
-            y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)
+            y, new_cov = mvdr_beamform(steer_v)
             out["audio"], new_tail = resynth_stream(y.reshape(bt, f))
 
         elif algo == "srp_mvdr":
@@ -427,9 +474,7 @@ class ShardedPipeline:
             pmean = jnp.mean(power.reshape(bl, t, -1), axis=1)
             gidx = jnp.argmax(pmean, axis=-1)
             steer_v = srp.steering_vector(self.srp_plan, gidx)
-            covs, new_cov = block_covs()
-            w = mvdr.weights_blocks(covs, steer_v, cfg.algo.diag_load)
-            y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)
+            y, new_cov = mvdr_beamform(steer_v)
             out["audio"], new_tail = resynth_stream(y.reshape(bt, f))
             out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
                                      jnp.float32)[gidx]
@@ -469,9 +514,7 @@ class ShardedPipeline:
                     track_step, state.tracks, pmean_all)        # [B, S]
             gidx = lax.dynamic_slice_in_dim(gidx_all, ti * bl, bl, axis=0)
             steer_v = srp.steering_vector(self.srp_plan, gidx)  # [Bl,S,C,F]
-            covs, new_cov = block_covs()
-            w = mvdr.weights_blocks(covs, steer_v, cfg.algo.diag_load)
-            y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)    # [Bl,S,T,F]
+            y, new_cov = mvdr_beamform(steer_v)                 # [Bl,S,T,F]
             y_s = jnp.moveaxis(y, 1, 0).reshape(y.shape[1], bt, f)
             out["audio"], new_tail = resynth_stream(y_s)
             out["doa"] = angles
