@@ -22,12 +22,13 @@ import sys
 import time
 from typing import Optional
 
+import jax
 import numpy as np
 
 from mcax import config as cfg_mod
 from mcax.io import wav as wav_io
 from mcax.utils import checkpoint as ckpt
-from mcax.utils.metrics import BlockTimer, JsonlWriter, log
+from mcax.utils.metrics import JsonlWriter, log
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -63,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "lowest-latency per-block path")
     p.add_argument("--throttle", type=float, default=0.0, metavar="SECONDS",
                    help="sleep after each block (simulate a real-time feed)")
+    p.add_argument("--pipeline-depth", type=int, default=2, metavar="K",
+                   help="keep K dispatch groups in flight, fetching group "
+                        "i's results while group i+1..i+K-1 compute "
+                        "(SURVEY.md §7.4 'fetch results one block late'). "
+                        "K=1 restores the fully synchronous loop; the "
+                        "output/DOA stream lags the input by (K-1) groups")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -143,34 +150,45 @@ def main(argv=None) -> int:
     bpd = max(1, args.blocks_per_dispatch)
     ckpts_done = 0
 
-    def _flush(group, state):
-        """Dispatch a group of consecutive blocks and emit per-block rows.
+    def _dispatch(group, state):
+        """Dispatch a group of consecutive blocks WITHOUT fetching results.
 
         A full group of ``bpd`` blocks goes through ``process_blocks`` (one
         device dispatch; out leaves gain a leading B axis); a single block —
         including each block of a short final tail, dispatched one at a time
         so the jitted [bpd, C, L] shape never retraces — goes through
-        ``process_block``.  This is the VERDICT round-1 item-8 device-side
-        N-block loop: the per-dispatch round-trip is paid once per N blocks.
+        ``process_block``.  The per-dispatch round-trip is paid once per
+        ``bpd`` blocks; the returned outputs are device futures whose fetch
+        the caller pipelines (_emit) so the host↔device round-trip of group
+        i overlaps group i+1's compute (SURVEY.md §7.4; VERDICT r3 item 4).
         """
         idxs = [b for b, _ in group]
+        if len(idxs) == 1:
+            state, out = pipe.process_block(state, group[0][1])
+        else:
+            state, out = pipe.process_blocks(
+                state, np.stack([blk for _, blk in group]))
+        return state, (idxs, out, time.perf_counter())
+
+    def _emit(inflight):
+        """Fetch one in-flight group's outputs and write its rows."""
+        idxs, out, t_dispatch = inflight
         n = len(idxs)
-        with BlockTimer(cfg.sample_rate, cfg.block_len * n) as bt:
-            if n == 1:
-                state, out = pipe.process_block(state, group[0][1])
-                outs = [out]
-            else:
-                import jax
-                state, out = pipe.process_blocks(
-                    state, np.stack([blk for _, blk in group]))
-                outs = [jax.tree.map(lambda x, i=i: np.asarray(x)[i], out)
-                        for i in range(n)]
-        per_block = bt.elapsed / n
+        if n == 1:
+            outs = [jax.tree.map(np.asarray, out)]
+        else:
+            host = jax.tree.map(np.asarray, out)
+            outs = [jax.tree.map(lambda x, i=i: x[i], host)
+                    for i in range(n)]
+        done = time.perf_counter()
+        per_block = (done - t_dispatch) / n
+        audio_s = cfg.block_len / cfg.sample_rate
         for b, o in zip(idxs, outs):
             if "audio" in o:
                 audio_parts.append(np.asarray(o["audio"]))
             rec = {"block": b, "latency_s": round(per_block, 6),
-                   "realtime_factor": round(bt.realtime_factor, 2)}
+                   "realtime_factor": round(audio_s / per_block, 2)
+                   if per_block > 0 else 0.0}
             if doa_f:
                 for row in _doa_rows(algo, o, cfg, b):
                     doa_f.write(",".join(str(v) for v in row) + "\n")
@@ -178,21 +196,46 @@ def main(argv=None) -> int:
                 rec["doa_deg"] = np.round(
                     np.rad2deg(np.asarray(o["doa"])), 2).tolist()
             metrics.write(rec)
-        return state, idxs[-1]
+        return idxs[-1]
 
-    def _maybe_checkpoint(state, last_b):
-        nonlocal ckpts_done
+    def _ckpt_due(last_b) -> bool:
         done = last_b + 1 - start_block
-        if args.checkpoint and done // args.checkpoint_every > ckpts_done:
-            ckpts_done = done // args.checkpoint_every
-            ckpt.save(args.checkpoint, state, cfg.config_hash(),
-                      sample_cursor=(last_b + 1) * cfg.block_len)
+        return bool(args.checkpoint
+                    and done // args.checkpoint_every > ckpts_done)
 
     # double-buffered streaming feeder: the native (or scipy-fallback) reader
     # runs on a producer thread so disk I/O overlaps device compute
     blocks = stream_mod.prefetched(
         stream_mod.block_iterator(args.input, cfg.block_len, c_need))
     pending = []
+    depth = max(1, args.pipeline_depth)
+    # in-flight dispatch groups: (idxs, device outs, host state snap, t0).
+    # When a group is checkpoint-due, its post-group state is materialised
+    # to host at dispatch time (the device buffers are donated to the NEXT
+    # dispatch, so they cannot be fetched later); the save itself happens
+    # at emit time, after the group's rows are written, so a crash
+    # mid-pipeline re-runs only unemitted groups on resume.
+    from collections import deque
+    inflight: "deque" = deque()
+
+    def _push(group, state):
+        state, (idxs, out, t0) = _dispatch(group, state)
+        snap = (jax.tree.map(np.asarray, state)
+                if _ckpt_due(idxs[-1]) else None)
+        inflight.append((idxs, out, snap, t0))
+        if len(inflight) >= depth:
+            _pop()
+        return state
+
+    def _pop():
+        nonlocal ckpts_done
+        idxs, out, snap, t0 = inflight.popleft()
+        last_b = _emit((idxs, out, t0))
+        if snap is not None:
+            ckpts_done = (last_b + 1 - start_block) // args.checkpoint_every
+            ckpt.save(args.checkpoint, snap, cfg.config_hash(),
+                      sample_cursor=(last_b + 1) * cfg.block_len)
+
     try:
         for b, blk in enumerate(blocks):
             if b >= nblocks:
@@ -201,14 +244,14 @@ def main(argv=None) -> int:
                 continue
             pending.append((b, blk))
             if len(pending) == bpd:
-                state, last_b = _flush(pending, state)
+                state = _push(pending, state)
                 pending = []
-                _maybe_checkpoint(state, last_b)
                 if args.throttle > 0:
                     time.sleep(args.throttle)
         for tail in pending:                      # tail shorter than bpd
-            state, last_b = _flush([tail], state)
-            _maybe_checkpoint(state, last_b)
+            state = _push([tail], state)
+        while inflight:                           # drain the pipeline
+            _pop()
         if args.checkpoint:
             ckpt.save(args.checkpoint, state, cfg.config_hash(),
                       sample_cursor=nblocks * cfg.block_len)

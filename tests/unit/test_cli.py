@@ -186,3 +186,25 @@ def test_cli_mesh_end_to_end(tmp_path):
     vals = [float(r.split(",")[2]) for r in rows]
     est = np.median(vals[len(vals) // 2:])
     assert abs(est - (-75.0)) < 2.0, est
+
+
+def test_cli_pipelined_matches_sync(tmp_path):
+    """--pipeline-depth K>1 (fetch one group late, SURVEY.md §7.4) must be
+    bit-identical to the fully synchronous loop: same WAV, same DOA rows,
+    and checkpoints still land with their outputs."""
+    path, cfg = _wav_for("config2", str(tmp_path), nblocks=6)
+    outs, doas = [], []
+    for depth in (1, 3):
+        out = os.path.join(tmp_path, f"out_d{depth}.wav")
+        doa = os.path.join(tmp_path, f"doa_d{depth}.csv")
+        ck = os.path.join(tmp_path, f"ck_d{depth}.npz")
+        rc = cli_run.main([path, "--config", "config2", "--wav-out", out,
+                           "--doa-out", doa, "--pipeline-depth", str(depth),
+                           "--blocks-per-dispatch", "2",
+                           "--checkpoint", ck, "--checkpoint-every", "2"])
+        assert rc == 0
+        assert os.path.exists(ck)
+        outs.append(read_wav(out)[1])
+        doas.append(open(doa).read())
+    np.testing.assert_array_equal(outs[0], outs[1])
+    assert doas[0] == doas[1]

@@ -384,6 +384,35 @@ def bench_pipeline(name: str, nblocks=30, scan_batch=32, scan_iters=16):
            # disagree ~2x with fresh_process_median rows (PERF.md)
            "timing": "in_process_sweep"}
 
+    # serving-loop latency modes WITH per-block host fetches (the CLI's
+    # real loop; outputs are real-valued, so fetches are axon-safe):
+    #   sync      — fetch block k before dispatching k+1 (pipeline depth 1)
+    #   pipelined — dispatch k+1, then fetch k (depth 2; the CLI default,
+    #               SURVEY §7.4 "fetch results one block late")
+    import jax.tree_util as jtu
+    for mode in ("sync", "pipelined"):
+        st3 = pipe.init_state()
+        for b in range(6):
+            st3, out = pipe.process_block(st3, blocks[b % 4])
+        _fence_tree(out)
+        prev = None
+        t0 = time.perf_counter()
+        for b in range(nblocks):
+            st3, out = pipe.process_block(st3, blocks[b % 4])
+            if mode == "sync":
+                jtu.tree_map(np.asarray, out)
+            else:
+                if prev is not None:
+                    jtu.tree_map(np.asarray, prev)
+                prev = out
+        if prev is not None:
+            jtu.tree_map(np.asarray, prev)
+        dt = time.perf_counter() - t0
+        sps3 = nblocks * cfg.block_len / dt
+        res[f"{mode}_fetch_samples_per_s"] = round(sps3, 1)
+        res[f"{mode}_fetch_realtime_factor"] = round(
+            sps3 / cfg.sample_rate, 2)
+
     batch = jax.device_put(rng.standard_normal(
         (scan_batch, pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
     st2 = pipe.init_state()
