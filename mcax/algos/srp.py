@@ -89,7 +89,9 @@ def srp_surface(spectra: jnp.ndarray, pairs: np.ndarray, plan: SrpPlan,
     steering phases on-chip (kernels/srp_fused.py); otherwise the CPS is
     materialised and fed to the dual steering matmul (XLA or Pallas).
     """
-    if dispatch.srp_backend() == "fused" and plan.tau_pg is not None:
+    *lead_, c_, t_, _f = spectra.shape
+    m_hint = int(np.prod([*lead_, t_])) if (lead_ or t_) else 1
+    if dispatch.srp_backend(m=m_hint) == "fused" and plan.tau_pg is not None:
         from mcax.kernels import srp_fused
         *lead, c, t, f = spectra.shape
         m = int(np.prod([*lead, t])) if (lead or t) else 1

@@ -44,7 +44,15 @@ def use_pallas() -> bool:
     return get_backend() == "pallas"
 
 
-def srp_backend() -> str:
+# Below this many frames (the steering matmul's M dimension) the fused SRP
+# kernel's advantage vanishes: the CPS round-trip it avoids is no longer
+# the bottleneck and both paths sit at the dispatch floor (BENCH_DETAIL
+# round 3, TPU v5e: M=96 fused 3.21% vs xla 3.32% SoL — a slight xla win —
+# while at the batched M=1536/1024 shapes fused wins 37.9/43.6% vs ~8%).
+SRP_FUSED_MIN_M = 256
+
+
+def srp_backend(m: int | None = None) -> str:
     """SRP steered-power backend: ``fused`` | ``matmul`` | ``xla`` | ``auto``.
 
     ``fused``  — single-pass Pallas kernel: CPS stays in VMEM, steering
@@ -56,7 +64,11 @@ def srp_backend() -> str:
     (BENCH_DETAIL round 2, TPU v5e): the fused kernel wins at the batched
     pipeline shapes because both materialising forms are HBM-bound on the
     CPS round-trip; on non-TPU backends the XLA fusion wins (and the fused
-    kernel would need interpret mode anyway)."""
+    kernel would need interpret mode anyway).  When the caller passes the
+    matmul M dimension (frames per dispatch), auto is additionally
+    shape-aware: below SRP_FUSED_MIN_M the measured winner is the XLA
+    fusion (VERDICT r3 weak item 4).  An explicit MCAX_SRP=fused always
+    forces the kernel regardless of shape."""
     b = os.environ.get("MCAX_SRP", "auto").lower()
     if b == "auto":
         forced = get_backend()           # validates MCAX_BACKEND too
@@ -64,7 +76,11 @@ def srp_backend() -> str:
             # The global escape hatch covers every kernel family:
             # MCAX_BACKEND=xla forces the jnp path, =pallas the fused one.
             return "fused" if forced == "pallas" else "xla"
-        return "fused" if _auto_backend() == "pallas" else "xla"
+        if _auto_backend() != "pallas":
+            return "xla"
+        if m is not None and m < SRP_FUSED_MIN_M:
+            return "xla"
+        return "fused"
     if b == "pallas":                 # alias: the materialised-CPS kernel
         return "matmul"
     if b not in ("fused", "matmul", "xla"):
