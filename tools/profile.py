@@ -21,6 +21,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="config4")
     ap.add_argument("--blocks", type=int, default=20)
+    ap.add_argument("--batched", type=int, default=0, metavar="B",
+                    help="profile the throughput mode: B blocks per "
+                         "process_blocks dispatch (the headline path), "
+                         "--blocks dispatches inside the trace")
     ap.add_argument("--out", default="/tmp/mcax-trace")
     args = ap.parse_args(argv)
 
@@ -28,18 +32,29 @@ def main(argv=None):
     from mcax.pipeline import Pipeline
 
     cfg = get_config(args.config)
-    pipe = Pipeline(cfg)
+    pipe = Pipeline(cfg, donate=False)
     rng = np.random.default_rng(0)
-    block = jax.device_put(rng.standard_normal(
-        (pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
     state = pipe.init_state()
-    state, out = pipe.process_block(state, block)        # compile outside trace
+    if args.batched:
+        batch = jax.device_put(rng.standard_normal(
+            (args.batched, pipe.geom.num_mics,
+             cfg.block_len)).astype(np.float32))
+        step = lambda st: pipe.process_blocks(st, batch)
+    else:
+        block = jax.device_put(rng.standard_normal(
+            (pipe.geom.num_mics, cfg.block_len)).astype(np.float32))
+        step = lambda st: pipe.process_block(st, block)
+    for _ in range(3):
+        state, out = step(state)                 # compile/warm outside trace
     jax.block_until_ready(out)
 
     with jax.profiler.trace(args.out):
         for _ in range(args.blocks):
-            state, out = pipe.process_block(state, block)
+            state, out = step(state)
         jax.block_until_ready((state, out))
+        # block_until_ready can return early on the tunneled backend; a
+        # real-scalar fetch is the only sound fence there
+        float(jax.numpy.sum(out[next(iter(out))]))
     print(f"trace written to {args.out}")
 
 
