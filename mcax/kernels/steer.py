@@ -39,9 +39,14 @@ def _steer_kernel(gr_ref, gi_ref, er_ref, ei_ref, out_ref):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
+    # HIGHEST: the surface feeds a DOA argmax and the parity tests hold it
+    # to fp32 accuracy; Mosaic's default dot precision is bf16 passes,
+    # whose ~8e-3 relative error fails the on-chip lane (r4)
     out_ref[...] += (
-        jnp.dot(gr_ref[...], er_ref[...], preferred_element_type=jnp.float32)
-        - jnp.dot(gi_ref[...], ei_ref[...], preferred_element_type=jnp.float32)
+        jnp.dot(gr_ref[...], er_ref[...], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        - jnp.dot(gi_ref[...], ei_ref[...], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     )
 
 
@@ -145,7 +150,12 @@ def srp_power_flat(gr: jnp.ndarray, gi: jnp.ndarray, e_re: jnp.ndarray,
         b = int(np.prod([*lead, t])) if (lead or t) else 1
         out = _srp_power_pallas(gr.reshape(b, k), gi.reshape(b, k), er, ei)
         return out.reshape(*lead, t, er.shape[-1])
-    return gr @ er - gi @ ei
+    # HIGHEST: TPU default matmul precision is one bf16 pass (~53 dB),
+    # visibly off the fused kernel's fp32 surface; the xla path ships only
+    # at floor-bound latency shapes and on CPU, where HIGHEST is free
+    hp = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(gr, er, precision=hp)
+            - jnp.matmul(gi, ei, precision=hp))
 
 
 def srp_power(g_phat: jnp.ndarray, e_re: jnp.ndarray,
