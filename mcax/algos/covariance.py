@@ -104,20 +104,28 @@ def block_prefixes(spectra: jnp.ndarray, cov0, forget: float,
     partials = jnp.einsum("btfc,btfd->bfcd", x * w.astype(x.dtype),
                           jnp.conj(x),
                           precision=jax.lax.Precision.HIGHEST)
-    # seed the scan from partials[0]*0 (+ cov0): under shard_map's vma
-    # checking the carry must have the same varying-axes type as the scan
-    # output, and a fresh zeros/replicated-state init does not
-    init = 0.0 * partials[0]
+    # The cross-block recursion runs over REAL re/im planes: the decay is
+    # a real scalar, so the complex recursion decomposes exactly per
+    # plane, and the scan program's boundary then carries float32 only —
+    # some TPU runtimes (axon) have no complex buffers at program
+    # boundaries, which an eager/op-by-op execution of a complex-carry
+    # scan would hit (on-chip lane, r4).
+    pr = jnp.stack([jnp.real(partials), jnp.imag(partials)],
+                   axis=1)                                  # [B, 2, F, C, C]
+    # seed the scan from pr[0]*0 (+ cov0): under shard_map's vma checking
+    # the carry must have the same varying-axes type as the scan output,
+    # and a fresh zeros/replicated-state init does not
+    init = 0.0 * pr[0]
     if cov0 is not None:
-        init = init + cov0
-    lam_t = jnp.asarray(float(forget) ** t, partials.dtype)
+        init = init + jnp.stack([jnp.real(cov0), jnp.imag(cov0)])
+    lam_t = jnp.float32(float(forget) ** t)
 
     def step(carry, p):
         new = lam_t * carry + p
         return new, new
 
-    _, covs = jax.lax.scan(step, init, partials)
-    return covs
+    _, covs = jax.lax.scan(step, init, pr)
+    return jax.lax.complex(covs[:, 0], covs[:, 1])
 
 
 def update(cov: jnp.ndarray, spectra: jnp.ndarray, forget: float) -> jnp.ndarray:
