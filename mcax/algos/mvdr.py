@@ -136,6 +136,10 @@ def weights_blocks(covs: jnp.ndarray, steer: jnp.ndarray,
     dominant cost, VERDICT.md round-1 item 3), and the factorisation is
     still shared across all source axes.
     """
+    from mcax.kernels import dispatch as _dispatch
+    if _dispatch.mvdr_backend() == "fused":
+        from mcax.kernels import mvdrsolve
+        return mvdrsolve.weights_blocks_fused(covs, steer, diag_load)
     b, f, c, _ = covs.shape
     r = cov_mod.loaded(covs, diag_load)                    # [B, F, C, C]
     chol = _cholesky_complex_unrolled(

@@ -140,6 +140,33 @@ def cov_backend() -> str:
     return v
 
 
+def mvdr_backend() -> str:
+    """MVDR weight-solve backend: ``fused`` | ``xla`` | ``auto``.
+
+    ``fused`` — single-pass Pallas kernel (kernels/mvdrsolve.py): diagonal
+                loading + complex Cholesky + both substitutions + the
+                distortionless normalisation in VMEM, covariances read
+                once with (block, bin) flattened onto lanes.
+    ``xla``   — the batch-elementwise unrolled form (mvdr.weights_blocks'
+                inline path; CPU/oracle path).
+
+    ``auto`` picks the measured winner: on TPU the XLA form's ~8+2C column
+    sweeps re-stream the [B·F, C, C] residual through HBM every step (the
+    post-covprefix profile's largest unattributed block), so the fused
+    kernel ships there; elsewhere XLA."""
+    v = os.environ.get("MCAX_MVDR", "auto").lower()
+    if v == "auto":
+        forced = get_backend()           # validates MCAX_BACKEND too
+        if os.environ.get("MCAX_BACKEND", "auto").lower() != "auto":
+            return "fused" if forced == "pallas" else "xla"
+        return "fused" if _auto_backend() == "pallas" else "xla"
+    if v == "pallas":                 # alias, consistent with MCAX_SRP
+        return "fused"
+    if v not in ("fused", "xla"):
+        raise ValueError(f"MCAX_MVDR must be fused|xla|auto, got {v!r}")
+    return v
+
+
 def interpret_mode() -> bool:
     """Run Pallas kernels in interpreter mode (CPU CI / debugging)."""
     return os.environ.get("MCAX_PALLAS_INTERPRET", "0") == "1"

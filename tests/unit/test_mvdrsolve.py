@@ -1,0 +1,89 @@
+"""Fused MVDR weight-solve kernel vs the unrolled XLA reference (C9).
+
+Interpret mode on CPU (SURVEY.md §4.2.5); the on-chip lane
+(MCAX_TEST_PLATFORM=tpu) runs the compiled kernel.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mcax.algos import covariance as cov_mod
+from mcax.algos import mvdr
+from mcax.kernels import mvdrsolve
+from tests.helpers import to_host
+
+_ON_TPU = jax.default_backend() in ("tpu", "axon")
+
+
+def _interpret(monkeypatch):
+    if not _ON_TPU:
+        monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
+
+
+def _cov_steer(b, f, c, s=0, seed=0):
+    """Well-conditioned Hermitian-PD covariances + unit steering."""
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal((b, f, c, 3 * c))
+         + 1j * rng.standard_normal((b, f, c, 3 * c))).astype(np.complex64)
+    r = (x @ np.conj(np.swapaxes(x, -1, -2)) / (3 * c)).astype(np.complex64)
+    shape = (b, s, c, f) if s else (b, c, f)
+    ph = rng.uniform(-np.pi, np.pi, shape).astype(np.float32)
+    d = np.exp(1j * ph).astype(np.complex64)
+    covs = jax.lax.complex(jnp.asarray(r.real), jnp.asarray(r.imag))
+    steer = jax.lax.complex(jnp.asarray(d.real), jnp.asarray(d.imag))
+    return covs, steer
+
+
+@pytest.mark.parametrize("b,f,c,s", [
+    (4, 513, 8, 0),      # config4: non-tile-multiple B*F
+    (3, 257, 16, 2),     # config5: 16 mics, 2 sources sharing one factor
+    (2, 128, 4, 0),
+    (1, 64, 2, 3),
+])
+def test_fused_weights_match_xla(monkeypatch, b, f, c, s):
+    _interpret(monkeypatch)
+    monkeypatch.setenv("MCAX_MVDR", "xla")   # pin the reference path
+    covs, steer = _cov_steer(b, f, c, s)
+    want = mvdr.weights_blocks(covs, steer, 0.01)
+    got = mvdrsolve.weights_blocks_fused(covs, steer, 0.01)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(to_host(got), to_host(want),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_fused_weights_distortionless(monkeypatch):
+    """w^H d = 1 (the MVDR constraint) holds bin-wise for the kernel."""
+    _interpret(monkeypatch)
+    covs, steer = _cov_steer(3, 200, 8, seed=5)
+    w = mvdrsolve.weights_blocks_fused(covs, steer, 0.05)
+    resp = jnp.sum(jnp.conj(w) * steer, axis=-2)           # [B, F]
+    np.testing.assert_allclose(to_host(resp), np.ones((3, 200)),
+                               atol=1e-3)
+
+
+def test_mvdr_backend_knob(monkeypatch):
+    from mcax.kernels import dispatch
+    monkeypatch.setenv("MCAX_MVDR", "xla")
+    assert dispatch.mvdr_backend() == "xla"
+    monkeypatch.setenv("MCAX_MVDR", "pallas")
+    assert dispatch.mvdr_backend() == "fused"
+    monkeypatch.setenv("MCAX_MVDR", "bogus")
+    with pytest.raises(ValueError):
+        dispatch.mvdr_backend()
+    monkeypatch.delenv("MCAX_MVDR")
+    monkeypatch.setenv("MCAX_BACKEND", "xla")   # global escape hatch
+    assert dispatch.mvdr_backend() == "xla"
+
+
+def test_weights_blocks_dispatches_fused(monkeypatch):
+    """weights_blocks itself routes to the kernel under MCAX_MVDR=fused."""
+    _interpret(monkeypatch)
+    covs, steer = _cov_steer(2, 96, 4, seed=7)
+    monkeypatch.setenv("MCAX_MVDR", "xla")
+    want = mvdr.weights_blocks(covs, steer, 0.01)
+    monkeypatch.setenv("MCAX_MVDR", "fused")
+    got = mvdr.weights_blocks(covs, steer, 0.01)
+    np.testing.assert_allclose(to_host(got), to_host(want),
+                               atol=2e-4, rtol=2e-3)
