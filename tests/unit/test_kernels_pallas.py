@@ -80,7 +80,12 @@ def test_srp_fused_matches_xla(monkeypatch, c, radius, f, g_pts, m, band):
     want = to_host(srp.srp_surface(spec, geom.pairs, plan))
     assert got.shape == want.shape == (m, g_pts)
     scale = np.max(np.abs(want)) + 1e-12
-    np.testing.assert_allclose(got / scale, want / scale, atol=3e-6)
+    # On the real chip the fused kernel's steering phases come from
+    # Mosaic's cos/sin (~1e-6 rel per term, summed over P*F), vs the
+    # host-precomputed fp32 phases of the xla path; 1e-4 still fails on
+    # any precision regression (a bf16 pass errs at ~1e-2).
+    atol = 1e-4 if _ON_TPU else 3e-6
+    np.testing.assert_allclose(got / scale, want / scale, atol=atol)
 
 
 def test_srp_fused_phasor_matches_direct(monkeypatch):

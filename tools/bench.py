@@ -334,6 +334,20 @@ def verify_kernels(c=8, t=24, blocks=64, f=513, g=360):
          ({"MCAX_COV": "xla"},
           lambda: cov_mod.block_prefixes(spec, None, 0.93, t))], 1e-5)
 
+    # fused MVDR weight solve vs the unrolled XLA chain, on covariances
+    # produced by the real covprefix path
+    from mcax.algos import mvdr as mvdr_mod
+    covs = cov_mod.block_prefixes(spec[:, :t * 8], None, 0.93, t)
+    dvec = jnp.exp(jax.lax.complex(
+        jnp.float32(0.0),
+        jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                (8, c, f)).astype(np.float32))))
+    run("mvdr_fused_vs_xla",
+        [({"MCAX_MVDR": "fused"},
+          lambda: mvdr_mod.weights_blocks(covs, dvec, 0.01)),
+         ({"MCAX_MVDR": "xla"},
+          lambda: mvdr_mod.weights_blocks(covs, dvec, 0.01))], 1e-4)
+
     return {"backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "shape": {"c": c, "frames_per_block": t, "blocks": blocks,

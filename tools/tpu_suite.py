@@ -1,0 +1,98 @@
+"""On-chip test-lane runner (VERDICT r3 item 1).
+
+Runs the Pallas-kernel + pipeline test subset on the REAL TPU chip
+(``MCAX_TEST_PLATFORM=tpu``) and records the outcome as a committed
+artifact (default ``TPU_SUITE_r04.json``): per-file pass/fail counts, the
+platform, and wall time.  Each file runs in its own pytest process —
+Mosaic compiles over the tunneled backend can take minutes per kernel and
+a wedged client must not poison the rest of the lane.
+
+Usage:  python tools/tpu_suite.py [--out TPU_SUITE_r04.json] [--timeout S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+# The on-chip lane: every file whose tests exercise compiled Pallas
+# kernels or the production pipeline path where it actually ships.
+LANE = [
+    "tests/unit/test_covprefix.py",
+    "tests/unit/test_kernels_pallas.py",
+    "tests/unit/test_mvdrsolve.py",
+    "tests/unit/test_fft.py",
+    "tests/unit/test_pipeline.py",
+]
+
+_SUMMARY = re.compile(
+    r"(?:(?P<failed>\d+) failed)?(?:, )?(?P<passed>\d+) passed"
+    r"(?:, (?P<skipped>\d+) skipped)?")
+
+
+def run_file(path: str, timeout: float) -> dict:
+    t0 = time.time()
+    env = dict(os.environ, MCAX_TEST_PLATFORM="tpu")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", path, "-q", "--tb=line"],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        tail = proc.stdout.strip().splitlines()[-15:]
+        m = None
+        for line in reversed(tail):
+            m = _SUMMARY.search(line)
+            if m and m.group("passed"):
+                break
+        res = {"file": path, "rc": proc.returncode,
+               "passed": int(m.group("passed")) if m and m.group("passed")
+               else 0,
+               "failed": int(m.group("failed")) if m and m.group("failed")
+               else 0,
+               "wall_s": round(time.time() - t0, 1)}
+        if proc.returncode not in (0,):
+            res["tail"] = tail[-8:]
+        return res
+    except subprocess.TimeoutExpired:
+        return {"file": path, "rc": "timeout", "passed": 0, "failed": 0,
+                "wall_s": round(time.time() - t0, 1)}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="TPU_SUITE_r04.json")
+    ap.add_argument("--timeout", type=float, default=3600.0,
+                    help="per-file timeout (Mosaic compiles over the "
+                         "tunnel can take minutes per kernel)")
+    ap.add_argument("--files", nargs="*", default=None)
+    args = ap.parse_args(argv)
+    import jax
+    report = {"platform": jax.default_backend(),
+              "device": str(jax.devices()[0]),
+              "lane": "MCAX_TEST_PLATFORM=tpu (real chip, compiled "
+                      "Pallas kernels — no interpret mode)",
+              "files": []}
+    ok = True
+    for path in (args.files or LANE):
+        res = run_file(path, args.timeout)
+        report["files"].append(res)
+        ok = ok and res["rc"] == 0
+        print(json.dumps(res), flush=True)
+    report["total_passed"] = sum(r["passed"] for r in report["files"])
+    report["total_failed"] = sum(r["failed"] for r in report["files"])
+    report["ok"] = ok
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(json.dumps({"ok": ok, "passed": report["total_passed"],
+                      "failed": report["total_failed"]}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
