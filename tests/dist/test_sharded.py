@@ -167,6 +167,27 @@ def test_sharded_fused_cov_batched_mode(monkeypatch):
                                np.asarray(ref_st.cov), rtol=3e-5, atol=1e-4)
 
 
+def test_sharded_fused_mvdr_batched_mode(monkeypatch):
+    """The fused MVDR weight-solve kernel dispatched inside shard_map's
+    frequency-sharded chain (mvdr_beamform), interpret mode."""
+    cfg = cfg_mod.get_config("config4")
+    nblocks = 2
+    x = _signal_for(cfg, nblocks)
+    blocks = np.stack([x[:, b * cfg.block_len:(b + 1) * cfg.block_len]
+                       for b in range(nblocks)])
+    monkeypatch.setenv("MCAX_MVDR", "xla")
+    ref_pipe = Pipeline(cfg, donate=False)
+    ref_st, ref_outs = ref_pipe.process_blocks(ref_pipe.init_state(), blocks)
+    ref_outs = jax.tree_util.tree_map(np.asarray, ref_outs)
+    monkeypatch.setenv("MCAX_MVDR", "fused")
+    monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
+    sp = ShardedPipeline(cfg, mesh_mod.make_mesh(2, 4), donate=False)
+    got_st, got_outs = sp.process_blocks(sp.init_state(), blocks)
+    for k in ("audio", "doa"):
+        np.testing.assert_allclose(np.asarray(got_outs[k]), ref_outs[k],
+                                   rtol=3e-5, atol=2e-4, err_msg=k)
+
+
 def test_sharded_multiband_gcc_matches_single_device():
     """Multiband GCC in the sharded per-block (scan) step: the round-1
     silent fork (scan mode dropped algo.gcc_bands) is closed — both modes
