@@ -72,12 +72,24 @@ def test_srp_fused_matches_xla(monkeypatch, c, radius, f, g_pts, m, band):
     geom = geo.ArrayGeometry(positions=geo.circular_positions(c, radius),
                              sample_rate=16000)
     plan = srp.make_plan(geom, (f - 1) * 2, g_pts, band_hz=band)
-    spec = complex_to_device(_spec(c=c, t=m, f=f, seed=3))
+    spec = _spec(c=c, t=m, f=f, seed=3)
+
+    def surface():
+        """One jit, float planes in/out (axon-safe boundaries)."""
+        import jax
+
+        @jax.jit
+        def run(sr, si):
+            return srp.srp_surface(jax.lax.complex(sr, si), geom.pairs,
+                                   plan)
+        return np.asarray(run(np.ascontiguousarray(spec.real),
+                              np.ascontiguousarray(spec.imag)))
+
     monkeypatch.setenv("MCAX_SRP", "fused")
-    got = to_host(srp.srp_surface(spec, geom.pairs, plan))
+    got = surface()
     monkeypatch.setenv("MCAX_SRP", "xla")
     monkeypatch.setenv("MCAX_BACKEND", "xla")
-    want = to_host(srp.srp_surface(spec, geom.pairs, plan))
+    want = surface()
     assert got.shape == want.shape == (m, g_pts)
     scale = np.max(np.abs(want)) + 1e-12
     # On the real chip the fused kernel's steering phases come from
@@ -96,12 +108,23 @@ def test_srp_fused_phasor_matches_direct(monkeypatch):
     geom = geo.ArrayGeometry(positions=geo.circular_positions(8, 0.05),
                              sample_rate=16000)
     plan = srp.make_plan(geom, 512, 360)
-    spec = complex_to_device(_spec(c=8, t=24, f=257, seed=5))
+    spec = _spec(c=8, t=24, f=257, seed=5)
+
+    def surface():
+        import jax
+
+        @jax.jit
+        def run(sr, si):
+            return srp.srp_surface(jax.lax.complex(sr, si), geom.pairs,
+                                   plan)
+        return np.asarray(run(np.ascontiguousarray(spec.real),
+                              np.ascontiguousarray(spec.imag)))
+
     monkeypatch.setenv("MCAX_SRP", "fused")
     monkeypatch.setenv("MCAX_SRP_FUSED_PHASOR", "1")
-    got = to_host(srp.srp_surface(spec, geom.pairs, plan))
+    got = surface()
     monkeypatch.setenv("MCAX_SRP_FUSED_PHASOR", "0")
-    want = to_host(srp.srp_surface(spec, geom.pairs, plan))
+    want = surface()
     scale = np.max(np.abs(want)) + 1e-12
     np.testing.assert_allclose(got / scale, want / scale, atol=2e-6)
 

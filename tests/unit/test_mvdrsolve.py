@@ -9,10 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from mcax.algos import covariance as cov_mod
 from mcax.algos import mvdr
 from mcax.kernels import mvdrsolve
-from tests.helpers import to_host
 
 _ON_TPU = jax.default_backend() in ("tpu", "axon")
 
@@ -23,7 +21,7 @@ def _interpret(monkeypatch):
 
 
 def _cov_steer(b, f, c, s=0, seed=0):
-    """Well-conditioned Hermitian-PD covariances + unit steering."""
+    """Well-conditioned Hermitian-PD covariances + unit steering (numpy)."""
     rng = np.random.default_rng(seed)
     x = (rng.standard_normal((b, f, c, 3 * c))
          + 1j * rng.standard_normal((b, f, c, 3 * c))).astype(np.complex64)
@@ -31,9 +29,24 @@ def _cov_steer(b, f, c, s=0, seed=0):
     shape = (b, s, c, f) if s else (b, c, f)
     ph = rng.uniform(-np.pi, np.pi, shape).astype(np.float32)
     d = np.exp(1j * ph).astype(np.complex64)
-    covs = jax.lax.complex(jnp.asarray(r.real), jnp.asarray(r.imag))
-    steer = jax.lax.complex(jnp.asarray(d.real), jnp.asarray(d.imag))
-    return covs, steer
+    return r, d
+
+
+def _weights_planes(fn, covs_np, steer_np, delta):
+    """Run a weights fn inside ONE jit with float re/im-plane boundaries
+    (the production pattern — the axon backend implements neither complex
+    transfers nor several eager complex ops) and return numpy complex."""
+
+    @jax.jit
+    def run(cr, ci, sr, si):
+        w = fn(jax.lax.complex(cr, ci), jax.lax.complex(sr, si), delta)
+        return jnp.real(w), jnp.imag(w)
+
+    wr, wi = run(np.ascontiguousarray(covs_np.real),
+                 np.ascontiguousarray(covs_np.imag),
+                 np.ascontiguousarray(steer_np.real),
+                 np.ascontiguousarray(steer_np.imag))
+    return np.asarray(wr) + 1j * np.asarray(wi)
 
 
 @pytest.mark.parametrize("b,f,c,s", [
@@ -46,21 +59,19 @@ def test_fused_weights_match_xla(monkeypatch, b, f, c, s):
     _interpret(monkeypatch)
     monkeypatch.setenv("MCAX_MVDR", "xla")   # pin the reference path
     covs, steer = _cov_steer(b, f, c, s)
-    want = mvdr.weights_blocks(covs, steer, 0.01)
-    got = mvdrsolve.weights_blocks_fused(covs, steer, 0.01)
+    want = _weights_planes(mvdr.weights_blocks, covs, steer, 0.01)
+    got = _weights_planes(mvdrsolve.weights_blocks_fused, covs, steer, 0.01)
     assert got.shape == want.shape
-    np.testing.assert_allclose(to_host(got), to_host(want),
-                               atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
 def test_fused_weights_distortionless(monkeypatch):
     """w^H d = 1 (the MVDR constraint) holds bin-wise for the kernel."""
     _interpret(monkeypatch)
     covs, steer = _cov_steer(3, 200, 8, seed=5)
-    w = mvdrsolve.weights_blocks_fused(covs, steer, 0.05)
-    resp = jnp.sum(jnp.conj(w) * steer, axis=-2)           # [B, F]
-    np.testing.assert_allclose(to_host(resp), np.ones((3, 200)),
-                               atol=1e-3)
+    w = _weights_planes(mvdrsolve.weights_blocks_fused, covs, steer, 0.05)
+    resp = np.sum(np.conj(w) * steer, axis=-2)             # [B, F]
+    np.testing.assert_allclose(resp, np.ones((3, 200)), atol=1e-3)
 
 
 def test_mvdr_backend_knob(monkeypatch):
@@ -82,8 +93,7 @@ def test_weights_blocks_dispatches_fused(monkeypatch):
     _interpret(monkeypatch)
     covs, steer = _cov_steer(2, 96, 4, seed=7)
     monkeypatch.setenv("MCAX_MVDR", "xla")
-    want = mvdr.weights_blocks(covs, steer, 0.01)
+    want = _weights_planes(mvdr.weights_blocks, covs, steer, 0.01)
     monkeypatch.setenv("MCAX_MVDR", "fused")
-    got = mvdr.weights_blocks(covs, steer, 0.01)
-    np.testing.assert_allclose(to_host(got), to_host(want),
-                               atol=2e-4, rtol=2e-3)
+    got = _weights_planes(mvdr.weights_blocks, covs, steer, 0.01)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
