@@ -238,6 +238,58 @@ def bench_filterbank(f=257, n_mels=40, frames=262144, block=48000,
     return res
 
 
+def bench_mvdr(b=64, f=513, c=8, s=0):
+    """MVDR weight solve (diag load + complex Cholesky + dual substitution
+    + normalise) on both backends at the batched config-4 shape.  The
+    honest roofline is HBM traffic: covs in + w out once (the fused
+    kernel's actual streams); arithmetic is ~C^3/3 complex MACs/bin, far
+    below the ridge."""
+    from mcax.algos import mvdr as mvdr_mod
+    rng = np.random.default_rng(3)
+    n = b * f
+    x = jnp.asarray(rng.standard_normal((2, b, f, c, 3 * c))
+                    .astype(np.float32))
+    ph = jnp.asarray(rng.uniform(-np.pi, np.pi, (
+        (b, s, c, f) if s else (b, c, f))).astype(np.float32))
+    res = {"shape": {"b": b, "f": f, "c": c, "sources": s or 1}}
+    traffic = 4.0 * n * (2 * c * c + 4 * (s or 1) * c)
+
+    @jax.jit
+    def mk_covs(packed):
+        xs = jax.lax.complex(packed[0], packed[1])
+        covs = jnp.einsum("bfck,bfdk->bfcd", xs, jnp.conj(xs),
+                          precision=jax.lax.Precision.HIGHEST) / (3 * c)
+        return jnp.stack([jnp.real(covs), jnp.imag(covs)])
+
+    cov_planes = mk_covs(x)           # built once, outside the timed fn
+
+    def solve(p):
+        covs = jax.lax.complex(p[0], p[1])
+        d = jnp.exp(jax.lax.complex(jnp.float32(0.0), ph))
+        w = mvdr_mod.weights_blocks(covs, d, 0.01)
+        return jnp.real(w), jnp.imag(w)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    prev = os.environ.get("MCAX_MVDR")
+    for backend in (("xla", "fused") if on_tpu else ("xla",)):
+        os.environ["MCAX_MVDR"] = backend
+        try:
+            dt = fenced_timeit(solve, cov_planes, iters=8, reps=2)
+            res[f"{backend}_solve_s"] = dt
+            res[f"{backend}_gbps"] = traffic / dt / 1e9
+            res[f"{backend}_pct_hbm_sol"] = round(
+                100.0 * traffic / dt / PEAK_HBM_BPS, 2)
+        finally:
+            if prev is None:
+                os.environ.pop("MCAX_MVDR", None)
+            else:
+                os.environ["MCAX_MVDR"] = prev
+    if on_tpu and "fused_solve_s" in res:
+        res["fused_speedup_vs_xla"] = round(
+            res["xla_solve_s"] / res["fused_solve_s"], 2)
+    return res
+
+
 def _rel_err(got, want) -> float:
     """On-device relative L2 error, fetched as ONE real fp32 scalar —
     sound on backends without complex host transfers (axon)."""
@@ -625,6 +677,8 @@ def main(argv=None):
         report["fft_512"] = bench_fft(512)
         report["fft_1024"] = bench_fft(1024, batch=4096)
         report["filterbank"] = bench_filterbank()
+        report["mvdr_solve"] = bench_mvdr()
+        report["mvdr_solve_config5"] = bench_mvdr(b=64, f=257, c=16, s=2)
         report["srp"] = bench_srp()
         if args.batched_shapes:
             # the shapes the throughput mode actually runs (64-block
