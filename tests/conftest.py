@@ -17,6 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # opt in via monkeypatch of MCAX_BACKEND + MCAX_PALLAS_INTERPRET.
 os.environ.setdefault("MCAX_BACKEND", "xla")
 
+if os.environ.get("MCAX_TEST_PLATFORM", "cpu") == "tpu":
+    # On-chip lane: Mosaic compiles over the tunneled backend take minutes
+    # per kernel; the persistent compile cache (utils/cache.py) makes
+    # lane reruns start warm.
+    from mcax.utils import cache as _cache
+
+    _cache.enable()
+
 if os.environ.get("MCAX_TEST_PLATFORM", "cpu") == "cpu":
     _flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in _flags:

@@ -658,6 +658,8 @@ def main(argv=None):
                          "the production shapes and print the report; "
                          "exits 1 if any check fails")
     args = ap.parse_args(argv)
+    from mcax.utils import cache as _cache
+    _cache.enable()                  # kernel benches compile outside Pipeline
     if args.verify:
         rep = verify_kernels()
         text = json.dumps(rep, indent=2)
