@@ -54,12 +54,24 @@ def _round_up(x: int, m: int) -> int:
 def _use_bf16() -> bool:
     """bf16 MXU passes for the steering matmuls (fp32 accumulate).
 
-    ~6x faster MXU passes at ~2e-3 relative surface error.  On a real
-    acoustic source the SRP peak prominence dwarfs that, but on flat
-    (noise-only) surfaces it can move the argmax between near-tied bins —
-    so fp32 is the default and bf16 is an explicit speed knob
-    (MCAX_SRP_FUSED_BF16=1) for throughput-critical deployments."""
-    return os.environ.get("MCAX_SRP_FUSED_BF16", "0") == "1"
+    ~6x faster MXU passes at ~2e-3 relative surface error — the SAME
+    order as the error the surface already carries from the on-chip
+    cos/sin phase synthesis (measured 1.9e-3 vs host-precomputed phases,
+    TPU_VERIFY_r04), so the fp32 six-pass matmuls were polishing noise.
+    Default ON since r4: the kernel was measured at 88% of fp32 matmul
+    speed-of-light with the steering dots as ~90% of its time (profile,
+    PERF.md r4), end-to-end DOA on a real source still recovers the
+    injected angle to <1e-5 deg, and the on-chip lane asserts the exact
+    peak choice.  MCAX_SRP_FUSED_BF16=0 restores fp32 passes for
+    flat-surface (noise-only) workloads where near-tied argmax bins
+    matter."""
+    v = os.environ.get("MCAX_SRP_FUSED_BF16")
+    if v is not None:
+        return v == "1"
+    # default: on for the real chip only — CPU/interpret runs are the
+    # exact-parity CI reference and keep fp32 passes
+    return (not dispatch.interpret_mode()
+            and jax.default_backend() in ("tpu", "axon"))
 
 
 def _pick_tb(f_pad: int, g_pad: int, vmem_budget=12 * 2 ** 20) -> int:
