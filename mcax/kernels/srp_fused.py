@@ -10,20 +10,22 @@ Measured on the v5e, both it and the equivalent XLA fusion are HBM-bound at
 This kernel inverts the trade: steering phases are COMPUTED ON THE FLY
 inside the kernel (cos/sin of omega_f * tau_p[g]) so the big [P*F, G]
 steering matrices never exist — not in HBM, not even whole in VMEM.  Grid
-= (M-tiles, pairs) with the pair table scalar-prefetched into SMEM; per
-step the kernel
+= (pairs, M-tiles), pair OUTER, with the pair table scalar-prefetched into
+SMEM; per pair the kernel
 
-  1. fetches the pair's two channel slices of the frame-major spectra
-     planes (BlockSpec index maps driven by the prefetched pair table),
-  2. computes the PHAT-weighted CPS for the pair in VMEM,
-  3. synthesises the pair's steering tile  e^{j omega tau}  from the tiny
-     [P, G] TDOA table + [1, F] omega row (cos/sin on the VPU — recomputed
-     once per (M-tile, pair), so LARGE M-tiles are the efficiency knob),
-  4. accumulates  Re(G . E)  with two MXU matmuls into the output tile,
-     which stays VMEM-resident across the whole inner pair loop.
+  1. synthesises the pair's steering tile  e^{j omega tau}  from the tiny
+     [P, G] TDOA table + [1, F] omega row into VMEM scratch — ONCE,
+     reused across every M-tile (the r4 grid inversion: recomputing it
+     per (M-tile, pair) was the kernel's measured bottleneck),
+  2. per M-tile fetches the pair's two channel slices of the frame-major
+     spectra planes (BlockSpec index maps driven by the prefetched table),
+  3. computes the PHAT-weighted CPS for the pair in VMEM,
+  4. accumulates  Re(G . E)  with two MXU matmuls (bf16 passes by default
+     on the real chip — see _use_bf16) into the output tile, which is
+     revisited and accumulated in place across the outer pair loop.
 
 HBM traffic: spectra slices (2 channels x 2 planes per pair) + the [M, G]
-output once — no CPS tensor, no steering matrices.  Reference analogue:
+output once per pair — no CPS tensor, no steering matrices.  Reference analogue:
 the mcarray SRP-PHAT module's (grid x pair x bin) triple loop (SURVEY.md
 §3.3), collapsed to MXU matmuls with the steering table rematerialised
 on-chip — a TPU-only design point (the C++/IPP reference has the opposite
@@ -54,24 +56,14 @@ def _round_up(x: int, m: int) -> int:
 def _use_bf16() -> bool:
     """bf16 MXU passes for the steering matmuls (fp32 accumulate).
 
-    ~6x faster MXU passes at ~2e-3 relative surface error — the SAME
-    order as the error the surface already carries from the on-chip
-    cos/sin phase synthesis (measured 1.9e-3 vs host-precomputed phases,
-    TPU_VERIFY_r04), so the fp32 six-pass matmuls were polishing noise.
-    Default ON since r4: the kernel was measured at 88% of fp32 matmul
-    speed-of-light with the steering dots as ~90% of its time (profile,
-    PERF.md r4), end-to-end DOA on a real source still recovers the
-    injected angle to <1e-5 deg, and the on-chip lane asserts the exact
-    peak choice.  MCAX_SRP_FUSED_BF16=0 restores fp32 passes for
-    flat-surface (noise-only) workloads where near-tied argmax bins
-    matter."""
-    v = os.environ.get("MCAX_SRP_FUSED_BF16")
-    if v is not None:
-        return v == "1"
-    # default: on for the real chip only — CPU/interpret runs are the
-    # exact-parity CI reference and keep fp32 passes
-    return (not dispatch.interpret_mode()
-            and jax.default_backend() in ("tpu", "axon"))
+    Measured r4, AFTER the pair-outer grid inversion: bf16 is SLOWER than
+    fp32 at the batched config-4 shape (1.62 vs 1.52 ms standalone) — the
+    per-step f32→bf16 casts and the (16, 128) retiling of operands that
+    live in VMEM as (8, 128) f32 tiles cost more than the saved MXU
+    passes — while also adding ~2e-3 surface error.  fp32 is therefore
+    the default everywhere; the knob (MCAX_SRP_FUSED_BF16=1) remains for
+    A/B runs on future hardware where the trade may flip."""
+    return os.environ.get("MCAX_SRP_FUSED_BF16", "0") == "1"
 
 
 def _pick_tb(f_pad: int, g_pad: int, vmem_budget=12 * 2 ** 20) -> int:
@@ -99,8 +91,47 @@ _PHASOR_SUB = 16    # twiddle split: f = a*_PHASOR_SUB + b
 
 def _fused_kernel(eps: float, bf16: bool, domega,
                   pairs_ref, ar_ref, ai_ref, br_ref, bi_ref,
-                  tau_ref, om_ref, out_ref):
-    k = pl.program_id(1)
+                  tau_ref, om_ref, out_ref, er_ref, ei_ref):
+    k = pl.program_id(0)                                   # pair (outer)
+    i = pl.program_id(1)                                   # M-tile (inner)
+
+    @pl.when(i == 0)
+    def _steer():
+        # Steering tile for this pair, synthesised on-chip ONCE and kept
+        # in VMEM scratch across all M-tiles (r4: with the old M-outer
+        # grid this expansion re-ran per (M-tile, pair) and — together
+        # with the spectra re-reads — was the kernel's real bottleneck;
+        # an fp32->bf16 matmul A/B moved the total by only 2%).
+        # E[f, g] = e^{+j omega_f tau_k[g]}  (sign matches steer.py)
+        tau_row = tau_ref[k, :]                            # [g_pad]
+        fp = er_ref.shape[0]
+        gp = tau_row.shape[-1]
+        if domega is not None:
+            # Two-level phasor factorisation: omega_f = f*domega and
+            # f = a*16 + b give E[f] = A[a]*B[b], A = e^{j*16a*domega*tau},
+            # B = e^{j*b*domega*tau} — (fp/16 + 16) rows of cos/sin
+            # instead of fp rows (~11x fewer transcendentals), then one
+            # unit-phasor complex multiply per element (~1 ulp phase
+            # error).  The omega ramp continues past F into the pad rows,
+            # which multiply zeroed CPS — values moot.
+            na = fp // _PHASOR_SUB
+            ang_a = (jax.lax.broadcasted_iota(jnp.float32, (na, 1), 0)
+                     * np.float32(_PHASOR_SUB * domega)) * tau_row[None, :]
+            ang_b = (jax.lax.broadcasted_iota(jnp.float32,
+                                              (_PHASOR_SUB, 1), 0)
+                     * np.float32(domega)) * tau_row[None, :]
+            ca, sa = jnp.cos(ang_a), jnp.sin(ang_a)        # [na, gp]
+            cb, sb = jnp.cos(ang_b), jnp.sin(ang_b)        # [16, gp]
+            er = (ca[:, None, :] * cb[None, :, :]
+                  - sa[:, None, :] * sb[None, :, :]).reshape(fp, gp)
+            ei = (sa[:, None, :] * cb[None, :, :]
+                  + ca[:, None, :] * sb[None, :, :]).reshape(fp, gp)
+        else:
+            ang = om_ref[0, :][:, None] * tau_row[None, :]  # [f_pad, g_pad]
+            er = jnp.cos(ang)
+            ei = jnp.sin(ang)
+        er_ref[...] = er.astype(er_ref.dtype)
+        ei_ref[...] = ei.astype(ei_ref.dtype)
 
     @pl.when(k == 0)
     def _init():
@@ -116,40 +147,11 @@ def _fused_kernel(eps: float, bf16: bool, domega,
     w = valid / (jnp.sqrt(gr * gr + gi * gi) + np.float32(eps))
     gr = gr * w
     gi = gi * w
-    # steering tile for this pair, synthesised on-chip:
-    # E[f, g] = e^{+j omega_f tau_k[g]}  (sign matches steer.py)
-    tau_row = tau_ref[k, :]                                # [g_pad]
-    fp = ar.shape[-1]
-    gp = tau_row.shape[-1]
-    if domega is not None:
-        # Two-level phasor factorisation: omega_f = f*domega and
-        # f = a*16 + b give E[f] = A[a]*B[b] with A = e^{j*16a*domega*tau},
-        # B = e^{j*b*domega*tau} — (fp/16 + 16) rows of cos/sin instead of
-        # fp rows (~11x fewer transcendentals, the kernel's dominant
-        # non-matmul cost), then one unit-phasor complex multiply per
-        # element (~1 ulp phase error).  The omega ramp continues past F
-        # into the pad rows, which multiply zeroed CPS — values moot.
-        na = fp // _PHASOR_SUB
-        ang_a = (jax.lax.broadcasted_iota(jnp.float32, (na, 1), 0)
-                 * np.float32(_PHASOR_SUB * domega)) * tau_row[None, :]
-        ang_b = (jax.lax.broadcasted_iota(jnp.float32, (_PHASOR_SUB, 1), 0)
-                 * np.float32(domega)) * tau_row[None, :]
-        ca, sa = jnp.cos(ang_a), jnp.sin(ang_a)            # [na, gp]
-        cb, sb = jnp.cos(ang_b), jnp.sin(ang_b)            # [16, gp]
-        er = (ca[:, None, :] * cb[None, :, :]
-              - sa[:, None, :] * sb[None, :, :]).reshape(fp, gp)
-        ei = (sa[:, None, :] * cb[None, :, :]
-              + ca[:, None, :] * sb[None, :, :]).reshape(fp, gp)
-    else:
-        ang = om_ref[0, :][:, None] * tau_row[None, :]     # [f_pad, g_pad]
-        er = jnp.cos(ang)
-        ei = jnp.sin(ang)
     if bf16:
         gr, gi = gr.astype(jnp.bfloat16), gi.astype(jnp.bfloat16)
-        er, ei = er.astype(jnp.bfloat16), ei.astype(jnp.bfloat16)
     out_ref[...] += (
-        jnp.dot(gr, er, preferred_element_type=jnp.float32)
-        - jnp.dot(gi, ei, preferred_element_type=jnp.float32))
+        jnp.dot(gr, er_ref[...], preferred_element_type=jnp.float32)
+        - jnp.dot(gi, ei_ref[...], preferred_element_type=jnp.float32))
 
 
 def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
@@ -209,35 +211,44 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
                        rtol=1e-9, atol=abs(d) * 1e-9):
             domega = d
 
-    spec_a = pl.BlockSpec((1, tb, f_pad), lambda i, k, ps: (ps[k, 0], i, 0),
+    # Grid: PAIR outer, M-tile inner (r4) — the pair's steering tile is
+    # synthesised once into VMEM scratch and reused across every M-tile;
+    # the output tiles are revisited per pair and accumulate in place
+    # (an [m, g] re-fetch per pair, far cheaper than re-synthesising the
+    # [f_pad, g_pad] steering expansion per (M-tile, pair)).
+    bf16 = _use_bf16()
+    steer_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    spec_a = pl.BlockSpec((1, tb, f_pad), lambda k, i, ps: (ps[k, 0], i, 0),
                           memory_space=pltpu.VMEM)
-    spec_b = pl.BlockSpec((1, tb, f_pad), lambda i, k, ps: (ps[k, 1], i, 0),
+    spec_b = pl.BlockSpec((1, tb, f_pad), lambda k, i, ps: (ps[k, 1], i, 0),
                           memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                             # pairs -> SMEM
-        grid=(m_pad // tb, p),
+        grid=(p, m_pad // tb),
         in_specs=[
             spec_a, spec_a,                                # re/im of chan a
             spec_b, spec_b,                                # re/im of chan b
-            pl.BlockSpec((p, g_pad), lambda i, k, ps: (0, 0),
+            pl.BlockSpec((p, g_pad), lambda k, i, ps: (0, 0),
                          memory_space=pltpu.VMEM),         # full tau table
-            pl.BlockSpec((_SUBLANE, f_pad), lambda i, k, ps: (0, 0),
+            pl.BlockSpec((_SUBLANE, f_pad), lambda k, i, ps: (0, 0),
                          memory_space=pltpu.VMEM),         # omega row
         ],
-        out_specs=pl.BlockSpec((tb, g_pad), lambda i, k, ps: (i, 0),
+        out_specs=pl.BlockSpec((tb, g_pad), lambda k, i, ps: (i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((f_pad, g_pad), steer_dtype),
+                        pltpu.VMEM((f_pad, g_pad), steer_dtype)],
     )
     sr, si = prep(st_re), prep(st_im)
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, float(eps), _use_bf16(), domega),
+        functools.partial(_fused_kernel, float(eps), bf16, domega),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, g_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * p * f_pad * g_pad,
-            bytes_accessed=4 * (4 * m_pad * f_pad * p + m_pad * g_pad),
-            transcendentals=2 * (m_pad // tb) * p * g_pad * (
+            bytes_accessed=4 * (4 * m_pad * f_pad * p + m_pad * g_pad * p),
+            transcendentals=2 * p * g_pad * (
                 f_pad // _PHASOR_SUB + _PHASOR_SUB if domega is not None
                 else f_pad),
         ),
