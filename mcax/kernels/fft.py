@@ -231,15 +231,22 @@ def _irdft_pallas(yr2d: jnp.ndarray, yi2d: jnp.ndarray, n: int,
 def _prec():
     """MXU pass count for the DFT matmuls (MCAX_FFT_PRECISION).
 
-    highest (default) — bf16x6 ≈ true fp32: 142 dB forward SNR.
-    high              — bf16x3: ~99 dB SNR, measured 1.26-1.28x faster at
-                        the shipped sizes (PERF.md round 3); beyond 16-bit
-                        audio's 96 dB floor, but below fp32 parity bounds,
-                        so it is an explicit speed knob, not the default.
-    default           — one bf16 pass: ~53 dB; diagnostics only.
+    highest — bf16x6 ≈ true fp32: 142 dB forward SNR.  The default off
+              TPU, and for any parity-critical A/B run (knob).
+    high    — bf16x3: ~99 dB SNR, measured 1.26-1.28x faster standalone
+              (PERF.md round 3).  The TPU default since r4: after the
+              MVDR-solve kernel and the SRP grid inversion the two
+              forward-DFT dots were 45% of the whole batched dispatch at
+              75% of fp32 matmul speed-of-light (profile, PERF.md r4),
+              and -99 dB is beyond 16-bit audio's 96 dB floor and any
+              plausible reference SNR bound; the on-chip lane and
+              --verify pin the math at `highest` explicitly.
+    default — one bf16 pass: ~53 dB; diagnostics only.
     """
     import os
-    v = os.environ.get("MCAX_FFT_PRECISION", "highest").lower()
+    fallback = ("high" if jax.default_backend() in ("tpu", "axon")
+                else "highest")
+    v = os.environ.get("MCAX_FFT_PRECISION", fallback).lower()
     table = {"default": jax.lax.Precision.DEFAULT,
              "high": jax.lax.Precision.HIGH,
              "highest": jax.lax.Precision.HIGHEST}

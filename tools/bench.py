@@ -364,11 +364,18 @@ def verify_kernels(c=8, t=24, blocks=64, f=513, g=360):
     # matmul-form rDFT (the shipped TPU auto tier) vs jnp.fft
     x = jnp.asarray(rng.standard_normal((4096, 512)).astype(np.float32))
     run("rfft_matmul_vs_jnp_fft",
-        [({}, lambda s_: kfft.rfft_matmul(x)),
+        [({"MCAX_FFT_PRECISION": "highest"},
+          lambda s_: kfft.rfft_matmul(x)),
          ({}, lambda s_: jnp.fft.rfft(x))], 1e-5)
+    # the shipped TPU default tier (bf16x3 'high' since r4): ~99 dB
+    run("rfft_matmul_high_vs_jnp_fft",
+        [({"MCAX_FFT_PRECISION": "high"},
+          lambda s_: kfft.rfft_matmul(x)),
+         ({}, lambda s_: jnp.fft.rfft(x))], 5e-5)
     if on_tpu:
         run("rfft_pallas_vs_jnp_fft",
-            [({"MCAX_FFT": "pallas"}, lambda s_: kfft.rfft(x)),
+            [({"MCAX_FFT": "pallas", "MCAX_FFT_PRECISION": "highest"},
+              lambda s_: kfft.rfft(x)),
              ({}, lambda s_: jnp.fft.rfft(x))], 1e-5)
 
     # fused CPS+PHAT (Pallas) vs the jnp form
