@@ -112,9 +112,17 @@ def _inv_matrices(n: int, f_pad: int, win_key: str = ""):
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
+def _kernel_prec():
+    """Mosaic supports only DEFAULT/HIGHEST dot precision — clamp the
+    three-pass 'high' tier up to HIGHEST inside the Pallas kernels (this
+    tier is the selectable alternative, not the shipped TPU auto path)."""
+    p = _prec()
+    return jax.lax.Precision.HIGHEST if p == jax.lax.Precision.HIGH else p
+
+
 def _rdft_kernel(x_ref, wr_ref, wi_ref, yr_ref, yi_ref):
     x = x_ref[...]
-    prec = _prec()                     # true fp32 on the MXU by default
+    prec = _kernel_prec()              # true fp32 on the MXU by default
     yr_ref[...] = jnp.dot(x, wr_ref[...], preferred_element_type=jnp.float32,
                           precision=prec)
     yi_ref[...] = jnp.dot(x, wi_ref[...], preferred_element_type=jnp.float32,
@@ -122,7 +130,7 @@ def _rdft_kernel(x_ref, wr_ref, wi_ref, yr_ref, yi_ref):
 
 
 def _irdft_kernel(yr_ref, yi_ref, ar_ref, ai_ref, x_ref):
-    prec = _prec()
+    prec = _kernel_prec()
     x_ref[...] = (
         jnp.dot(yr_ref[...], ar_ref[...], preferred_element_type=jnp.float32,
                 precision=prec)
