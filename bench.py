@@ -83,7 +83,10 @@ def main() -> None:
     # deadline-aware: the tunneled backend occasionally stalls for minutes
     # (PERF.md round 2); if the budget runs low, fall back to the known-good
     # batch so the driver always gets a number
-    candidates = (64, 128, 32)
+    # r4: device time per block fell ~3x (fused MVDR solve, SRP grid
+    # inversion, bf16x3 DFT tier), so the ~8-10 ms tunnel round-trip per
+    # dispatch dominates at batch 128 — larger batches amortise it
+    candidates = (256, 128, 512, 64)
     probes = {}
     for b in candidates:
         probes[b] = _time_batch(pipe, cfg, b, iters=4)
