@@ -220,6 +220,16 @@ def main(argv=None) -> int:
 
     def _push(group, state):
         state, (idxs, out, t0) = _dispatch(group, state)
+        # start the device->host copies NOW so they overlap the next
+        # group's compute; the blocking np.asarray at emit time then
+        # completes from the host staging buffer.  (Measured r4: without
+        # this, dispatch and fetch each cost a full tunnel round-trip on
+        # the host thread and pipelining gains nothing.)
+        for leaf in jax.tree_util.tree_leaves(out):
+            try:
+                leaf.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                break                     # backend without async copies
         snap = (jax.tree.map(np.asarray, state)
                 if _ckpt_due(idxs[-1]) else None)
         inflight.append((idxs, out, snap, t0))

@@ -45,11 +45,13 @@ def use_pallas() -> bool:
 
 
 # Below this many frames (the steering matmul's M dimension) the fused SRP
-# kernel's advantage vanishes: the CPS round-trip it avoids is no longer
-# the bottleneck and both paths sit at the dispatch floor (BENCH_DETAIL
-# round 3, TPU v5e: M=96 fused 3.21% vs xla 3.32% SoL — a slight xla win —
-# while at the batched M=1536/1024 shapes fused wins 37.9/43.6% vs ~8%).
-SRP_FUSED_MIN_M = 256
+# kernel would lose to the XLA fusion.  r3 measured a slight xla win at
+# M=96 (3.32% vs 3.21% SoL) and set 256; r4 re-measured after the
+# pair-outer grid inversion and the fp32-accurate xla matmuls: fused now
+# wins at EVERY shape (M=96: 3.30% vs 2.17%; batched: 63.0% vs 11.9% —
+# BENCH_DETAIL r4), so the threshold is 0 (always fused on TPU).  The
+# shape hook stays for future hardware where the trade may return.
+SRP_FUSED_MIN_M = 0
 
 
 def srp_backend(m: int | None = None) -> str:
