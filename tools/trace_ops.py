@@ -18,7 +18,10 @@ import os
 
 
 def load_xplanes(trace_dir: str):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     if not paths:
