@@ -155,6 +155,34 @@ def weights_blocks(covs: jnp.ndarray, steer: jnp.ndarray,
     return jnp.moveaxis(y / denom, -1, -2)                 # [B, (S,) C, F]
 
 
+def weights_and_cov_from_spectra(spectra: jnp.ndarray, cov0, forget: float,
+                                 frames_per_block: int, steer: jnp.ndarray,
+                                 diag_load: float):
+    """Covariance prefixes + MVDR weights in one dispatch-aware step.
+
+    When BOTH the covariance-prefix and MVDR-solve kernels are the
+    dispatched backends, covprefix's native [B, 2C^2, F_pad] rows feed
+    the solve kernel directly — skipping the complex [B, F, C, C] round
+    trip between them (two full-tensor layout transposes, ~0.35 ms at
+    the config-4 batched shape — r4 profile).  Otherwise the plain
+    covs -> weights_blocks chain runs.
+
+    Returns (w [B, (S,) C, F], new_cov [F, C, C] — the last block's
+    covariance for the streaming state).
+    """
+    from mcax.kernels import dispatch as _dispatch
+    if (_dispatch.cov_backend() == "fused"
+            and _dispatch.mvdr_backend() == "fused"):
+        from mcax.kernels import covprefix, mvdrsolve
+        rows, f = covprefix.block_prefixes_rows(spectra, cov0, forget,
+                                                frames_per_block)
+        w = mvdrsolve.weights_blocks_fused_rows(rows, steer, diag_load, f)
+        new_cov = covprefix.rows_to_complex(rows[-1:], f)[0]
+        return w, new_cov
+    covs = cov_mod.block_prefixes(spectra, cov0, forget, frames_per_block)
+    return weights_blocks(covs, steer, diag_load), covs[-1]
+
+
 def beamform(spectra: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Apply weights: Y = w^H X.
 

@@ -73,11 +73,23 @@ def _kernel(c: int, t: int, lam: float, xr_ref, xi_ref, cov0_ref,
     out_ref[0] = new
 
 
-def block_prefixes_fused(spectra: jnp.ndarray, cov0, forget: float,
-                         frames_per_block: int) -> jnp.ndarray:
-    """Drop-in fused path for covariance.block_prefixes (same contract:
-    complex spectra [C, M, F] -> complex prefix covariances [B, F, C, C]).
-    Matches the einsum path to fp32 tolerance (t-summation order differs)."""
+def rows_to_complex(out: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[B, 2C^2, F_pad] float rows -> complex [B, F, C, C]."""
+    b, rows, _ = out.shape
+    c = int(np.sqrt(rows // 2))
+    re = out[:, :c * c, :f].reshape(b, c, c, f)
+    im = out[:, c * c:, :f].reshape(b, c, c, f)
+    return jax.lax.complex(jnp.moveaxis(re, -1, 1), jnp.moveaxis(im, -1, 1))
+
+
+def block_prefixes_rows(spectra: jnp.ndarray, cov0, forget: float,
+                        frames_per_block: int):
+    """The fused kernel's NATIVE output: ([B, 2C^2, F_pad] float32 rows,
+    F).  Row i*C+j is Re R[i,j], C^2+i*C+j is Im R[i,j]; bins past F are
+    zero.  The fused MVDR solve (mvdrsolve.weights_blocks_fused_rows)
+    consumes this directly, skipping the complex [B, F, C, C] round trip
+    (two full-tensor layout transposes at the batched shapes — the ops
+    around the kernels in the r4 profile)."""
     if not 0.0 < forget <= 1.0:
         # The on-chip weight synthesis uses exp(log(lam)·k); lam=0 would
         # yield log(0)·0 = NaN where the direct lam**k form gives 1.
@@ -126,7 +138,13 @@ def block_prefixes_fused(spectra: jnp.ndarray, cov0, forget: float,
         ),
         interpret=dispatch.interpret_mode(),
     )(xr, xi, cov0_rows)
+    return out, f
 
-    re = out[:, :c * c, :f].reshape(b, c, c, f)
-    im = out[:, c * c:, :f].reshape(b, c, c, f)
-    return jax.lax.complex(jnp.moveaxis(re, -1, 1), jnp.moveaxis(im, -1, 1))
+
+def block_prefixes_fused(spectra: jnp.ndarray, cov0, forget: float,
+                         frames_per_block: int) -> jnp.ndarray:
+    """Drop-in fused path for covariance.block_prefixes (same contract:
+    complex spectra [C, M, F] -> complex prefix covariances [B, F, C, C]).
+    Matches the einsum path to fp32 tolerance (t-summation order differs)."""
+    out, f = block_prefixes_rows(spectra, cov0, forget, frames_per_block)
+    return rows_to_complex(out, f)

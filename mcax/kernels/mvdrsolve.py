@@ -40,11 +40,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(c: int, s: int, delta: float, cov_ref, st_ref, out_ref):
-    """cov_ref [2C^2, T], st_ref/out_ref [2SC, T]; all fp32 rows."""
-    re = lambda i, j: cov_ref[i * c + j, :]
-    im = lambda i, j: cov_ref[c * c + i * c + j, :]
-
+def _solve_math(c: int, s: int, delta: float, re, im, dget, wset):
+    """The shared per-lane-vector solve: diagonal loading + complex
+    Cholesky + forward/adjoint substitution per source + distortionless
+    normalisation.  ``re(i, j)``/``im(i, j)`` fetch covariance row
+    vectors, ``dget(src, k)`` -> (re, im) steering rows,
+    ``wset(src, k, re, im)`` stores weight rows."""
     # diagonal loading: R[j,j] += delta * tr(R)/C  (trace is real)
     tr = re(0, 0)
     for j in range(1, c):
@@ -77,8 +78,7 @@ def _kernel(c: int, s: int, delta: float, cov_ref, st_ref, out_ref):
                               pi - (bi * cr - br * ci))
 
     for src in range(s):
-        d = [(st_ref[src * 2 * c + k, :], st_ref[src * 2 * c + c + k, :])
-             for k in range(c)]
+        d = [dget(src, k) for k in range(c)]
         # forward: L y = d
         y = [None] * c
         for k in range(c):
@@ -115,8 +115,85 @@ def _kernel(c: int, s: int, delta: float, cov_ref, st_ref, out_ref):
         sc = np.float32(1.0) / (nr * nr + ni * ni)
         for k in range(c):
             zr, zi = z[k]
-            out_ref[src * 2 * c + k, :] = (zr * nr + zi * ni) * sc
-            out_ref[src * 2 * c + c + k, :] = (zi * nr - zr * ni) * sc
+            wset(src, k, (zr * nr + zi * ni) * sc, (zi * nr - zr * ni) * sc)
+
+
+def _kernel(c: int, s: int, delta: float, cov_ref, st_ref, out_ref):
+    """cov_ref [2C^2, T], st_ref/out_ref [2SC, T]; all fp32 rows."""
+    _solve_math(
+        c, s, delta,
+        lambda i, j: cov_ref[i * c + j, :],
+        lambda i, j: cov_ref[c * c + i * c + j, :],
+        lambda src, k: (st_ref[src * 2 * c + k, :],
+                        st_ref[src * 2 * c + c + k, :]),
+        lambda src, k, wr, wi: (
+            out_ref.__setitem__((src * 2 * c + k, slice(None)), wr),
+            out_ref.__setitem__((src * 2 * c + c + k, slice(None)), wi)),
+    )
+
+
+def _kernel_rows(c: int, s: int, delta: float, cov_ref, st_ref, out_ref):
+    """Per-block variant consuming covprefix's native rows layout:
+    cov_ref [1, 2C^2, F_pad], st_ref/out_ref [1, 2SC, F_pad]."""
+    _solve_math(
+        c, s, delta,
+        lambda i, j: cov_ref[0, i * c + j, :],
+        lambda i, j: cov_ref[0, c * c + i * c + j, :],
+        lambda src, k: (st_ref[0, src * 2 * c + k, :],
+                        st_ref[0, src * 2 * c + c + k, :]),
+        lambda src, k, wr, wi: (
+            out_ref.__setitem__((0, src * 2 * c + k, slice(None)), wr),
+            out_ref.__setitem__((0, src * 2 * c + c + k, slice(None)), wi)),
+    )
+
+
+def weights_blocks_fused_rows(cov_rows: jnp.ndarray, steer: jnp.ndarray,
+                              diag_load: float, f: int) -> jnp.ndarray:
+    """Weights from covprefix's NATIVE rows output — the fused-to-fused
+    fast path (no complex [B, F, C, C] round trip between the kernels).
+
+    Args:
+      cov_rows: float32 [B, 2C^2, F_pad] (covprefix.block_prefixes_rows).
+      steer: complex [B, (S,) C, F]; f: the true bin count (<= F_pad).
+    Returns:
+      w complex [B, (S,) C, F].  Pad bins carry zero covariance and zero
+      steering; the pivot/denominator floors keep them finite and they
+      are sliced away here.
+    """
+    b, rows, f_pad = cov_rows.shape
+    c = int(np.sqrt(rows // 2))
+    extra = steer.ndim - 3
+    s = steer.shape[1] if extra else 1
+    st = steer.reshape(b, s, c, f)
+    st_rows = jnp.stack([jnp.real(st), jnp.imag(st)], axis=2)  # [B,S,2,C,F]
+    st_rows = jnp.pad(st_rows.reshape(b, s * 2 * c, f),
+                      ((0, 0), (0, 0), (0, f_pad - f)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_rows, c, s, float(diag_load)),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, rows, f_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * s * c, f_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * s * c, f_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * s * c, f_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=int(b * f_pad * (c ** 3 * 4 + s * c * c * 16)),
+            bytes_accessed=4 * b * f_pad * (rows + 4 * s * c),
+            transcendentals=b * c,
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(cov_rows, st_rows)
+
+    wr = out.reshape(b, s, 2, c, f_pad)[..., :f]          # [B, S, 2, C, F]
+    w = jax.lax.complex(wr[:, :, 0], wr[:, :, 1])         # [B, S, C, F]
+    return w if extra else w[:, 0]
 
 
 def weights_blocks_fused(covs: jnp.ndarray, steer: jnp.ndarray,

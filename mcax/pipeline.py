@@ -206,12 +206,12 @@ class Pipeline:
             r = spectra.reshape(c, b, t, spectra.shape[-1])
             return jnp.moveaxis(r, 1, 0)
 
-        def block_covs():
-            """Prefix covariances per block (R_b = lam^T R_{b-1} + p_b),
-            computed straight from the channel-major spectra — see
-            covariance.block_prefixes for the layout rationale."""
-            return cov_mod.block_prefixes(spectra, cov0,
-                                          cfg.algo.cov_forget, t)
+        def mvdr_weights(steer):
+            """(w, new_cov) via the dispatch-aware fused-to-fused rows
+            fast path (mvdr.weights_and_cov_from_spectra)."""
+            return mvdr.weights_and_cov_from_spectra(
+                spectra, cov0, cfg.algo.cov_forget, t, steer,
+                cfg.algo.diag_load)
 
         def resynth_stream(y):
             """y [..., B*T, F] → (out [B, ..., T*hop], new_tail): OLA over
@@ -271,11 +271,9 @@ class Pipeline:
                                      jnp.float32)[gidx]
 
         elif algo == "mvdr":
-            covs = block_covs()                                # [B, F, C, C]
-            new_cov = covs[-1]
             steer = jnp.broadcast_to(jnp.asarray(self.fixed_steer),
                                      (b, *self.fixed_steer.shape))
-            w = mvdr.weights_blocks(covs, steer, cfg.algo.diag_load)
+            w, new_cov = mvdr_weights(steer)
             y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)   # [B, T, F]
             out["audio"], new_tail = resynth_stream(
                 y.reshape(bt, y.shape[-1]))
@@ -286,10 +284,7 @@ class Pipeline:
             pmean = jnp.mean(power.reshape(b, t, -1), axis=1)  # [B, G]
             gidx = jnp.argmax(pmean, axis=-1)
             steer = srp.steering_vector(self.srp_plan, gidx)   # [B, C, F]
-            covs = block_covs()
-            new_cov = covs[-1]
-            w = mvdr.weights_blocks(covs, steer,
-                                    cfg.algo.diag_load)        # [B, C, F]
+            w, new_cov = mvdr_weights(steer)                   # [B, C, F]
             y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)   # [B, T, F]
             out["audio"], new_tail = resynth_stream(
                 y.reshape(bt, y.shape[-1]))
@@ -325,10 +320,7 @@ class Pipeline:
                 new_tracks, (gidx, angles, conf) = jax.lax.scan(
                     track_step, state.tracks, pmean)           # [B, S] each
             steer = srp.steering_vector(self.srp_plan, gidx)   # [B, S, C, F]
-            covs = block_covs()
-            new_cov = covs[-1]
-            w = mvdr.weights_blocks(covs, steer,
-                                    cfg.algo.diag_load)        # [B, S, C, F]
+            w, new_cov = mvdr_weights(steer)                   # [B, S, C, F]
             y = jax.vmap(mvdr.beamform)(spectra_blocks(), w)   # [B, S, T, F]
             # per-source contiguous frame streams: [S, B*T, F]
             y_s = jnp.moveaxis(y, 1, 0).reshape(

@@ -97,3 +97,34 @@ def test_weights_blocks_dispatches_fused(monkeypatch):
     monkeypatch.setenv("MCAX_MVDR", "fused")
     got = _weights_planes(mvdr.weights_blocks, covs, steer, 0.01)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_rows_fast_path_matches_xla(monkeypatch):
+    """The fused-to-fused rows path (covprefix rows feeding the solve
+    kernel with no complex [B,F,C,C] round trip) matches the plain
+    covs -> weights chain, including the streaming new_cov."""
+    _interpret(monkeypatch)
+    rng = np.random.default_rng(9)
+    c, b, t, f = 8, 3, 24, 513
+    spec = jax.lax.complex(
+        jnp.asarray(rng.standard_normal((c, b * t, f)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((c, b * t, f)).astype(np.float32)))
+    ph = rng.uniform(-np.pi, np.pi, (b, c, f)).astype(np.float32)
+    steer = jax.lax.complex(jnp.asarray(np.cos(ph)), jnp.asarray(np.sin(ph)))
+    cov0 = jnp.broadcast_to(
+        jnp.asarray(np.eye(c, dtype=np.complex64) * 1e-3), (f, c, c))
+
+    def run():
+        w, nc = mvdr.weights_and_cov_from_spectra(spec, cov0, 0.93, t,
+                                                  steer, 0.01)
+        return (np.asarray(jnp.real(w)) + 1j * np.asarray(jnp.imag(w)),
+                np.asarray(jnp.real(nc)) + 1j * np.asarray(jnp.imag(nc)))
+
+    monkeypatch.setenv("MCAX_COV", "fused")
+    monkeypatch.setenv("MCAX_MVDR", "fused")
+    w1, nc1 = run()
+    monkeypatch.setenv("MCAX_COV", "xla")
+    monkeypatch.setenv("MCAX_MVDR", "xla")
+    w2, nc2 = run()
+    np.testing.assert_allclose(w1, w2, atol=5e-4, rtol=5e-3)
+    np.testing.assert_allclose(nc1, nc2, atol=5e-4, rtol=5e-3)
