@@ -106,19 +106,25 @@ def test_rows_fast_path_matches_xla(monkeypatch):
     _interpret(monkeypatch)
     rng = np.random.default_rng(9)
     c, b, t, f = 8, 3, 24, 513
-    spec = jax.lax.complex(
-        jnp.asarray(rng.standard_normal((c, b * t, f)).astype(np.float32)),
-        jnp.asarray(rng.standard_normal((c, b * t, f)).astype(np.float32)))
+    sr = rng.standard_normal((c, b * t, f)).astype(np.float32)
+    si = rng.standard_normal((c, b * t, f)).astype(np.float32)
     ph = rng.uniform(-np.pi, np.pi, (b, c, f)).astype(np.float32)
-    steer = jax.lax.complex(jnp.asarray(np.cos(ph)), jnp.asarray(np.sin(ph)))
-    cov0 = jnp.broadcast_to(
-        jnp.asarray(np.eye(c, dtype=np.complex64) * 1e-3), (f, c, c))
+    cov0_np = np.broadcast_to(np.eye(c, dtype=np.float32) * 1e-3,
+                              (f, c, c)).copy()
 
     def run():
-        w, nc = mvdr.weights_and_cov_from_spectra(spec, cov0, 0.93, t,
-                                                  steer, 0.01)
-        return (np.asarray(jnp.real(w)) + 1j * np.asarray(jnp.imag(w)),
-                np.asarray(jnp.real(nc)) + 1j * np.asarray(jnp.imag(nc)))
+        # one jit per path, float-plane boundaries (axon-safe)
+        @jax.jit
+        def go(ar, ai, phv, c0):
+            spec = jax.lax.complex(ar, ai)
+            steer = jax.lax.complex(jnp.cos(phv), jnp.sin(phv))
+            cov0 = jax.lax.complex(c0, jnp.zeros_like(c0))
+            w, nc = mvdr.weights_and_cov_from_spectra(spec, cov0, 0.93, t,
+                                                      steer, 0.01)
+            return (jnp.real(w), jnp.imag(w), jnp.real(nc), jnp.imag(nc))
+        wr, wi, nr, ni = go(sr, si, ph, cov0_np)
+        return (np.asarray(wr) + 1j * np.asarray(wi),
+                np.asarray(nr) + 1j * np.asarray(ni))
 
     monkeypatch.setenv("MCAX_COV", "fused")
     monkeypatch.setenv("MCAX_MVDR", "fused")
