@@ -198,10 +198,18 @@ def main(argv=None) -> int:
             metrics.write(rec)
         return idxs[-1]
 
+    # Checkpoint planning is DISPATCH-side (ckpts_planned) while the save
+    # itself is EMIT-side (ckpts_done): with pipeline depth >= 2, testing
+    # against the emit-side counter would let two in-flight groups both
+    # see the same stale count, both take the (blocking, pipelining-
+    # defeating) state snapshot, and save the same boundary twice
+    # (ADVICE r4).
+    ckpts_planned = 0
+
     def _ckpt_due(last_b) -> bool:
         done = last_b + 1 - start_block
         return bool(args.checkpoint
-                    and done // args.checkpoint_every > ckpts_done)
+                    and done // args.checkpoint_every > ckpts_planned)
 
     # double-buffered streaming feeder: the native (or scipy-fallback) reader
     # runs on a producer thread so disk I/O overlaps device compute
@@ -219,6 +227,7 @@ def main(argv=None) -> int:
     inflight: "deque" = deque()
 
     def _push(group, state):
+        nonlocal ckpts_planned
         state, (idxs, out, t0) = _dispatch(group, state)
         # start the device->host copies NOW so they overlap the next
         # group's compute; the blocking np.asarray at emit time then
@@ -232,6 +241,9 @@ def main(argv=None) -> int:
                 break                     # backend without async copies
         snap = (jax.tree.map(np.asarray, state)
                 if _ckpt_due(idxs[-1]) else None)
+        if snap is not None:
+            ckpts_planned = ((idxs[-1] + 1 - start_block)
+                             // args.checkpoint_every)
         inflight.append((idxs, out, snap, t0))
         if len(inflight) >= depth:
             _pop()

@@ -182,7 +182,11 @@ def biquad_apply(x: jnp.ndarray, b: np.ndarray, a: np.ndarray,
                                 precision=hp)
                      + jnp.einsum("...k,ks->...s", xc[..., -1, :], wr,
                                   precision=hp))
-    return y.astype(x.dtype), new_carry
+    # carry in x.dtype, matching the old associative-scan contract: the
+    # plan operators compute through fp32 internally, but a float64
+    # caller round-tripping the carry must not silently lose its dtype
+    # (ADVICE r4)
+    return y.astype(x.dtype), new_carry.astype(x.dtype)
 
 
 def butter_lowpass_sos(cutoff_hz: float, fs: float) -> Tuple[np.ndarray, np.ndarray]:

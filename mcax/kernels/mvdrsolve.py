@@ -162,8 +162,10 @@ def weights_blocks_fused_rows(cov_rows: jnp.ndarray, steer: jnp.ndarray,
     """
     b, rows, f_pad = cov_rows.shape
     c = int(np.sqrt(rows // 2))
-    extra = steer.ndim - 3
-    s = steer.shape[1] if extra else 1
+    # arbitrary leading source axes (matching the XLA weights_blocks
+    # contract, ADVICE r4): flatten them all into s, restore on output
+    extra_shape = steer.shape[1:-2]
+    s = int(np.prod(extra_shape)) if extra_shape else 1
     st = steer.reshape(b, s, c, f)
     st_rows = jnp.stack([jnp.real(st), jnp.imag(st)], axis=2)  # [B,S,2,C,F]
     st_rows = jnp.pad(st_rows.reshape(b, s * 2 * c, f),
@@ -193,7 +195,8 @@ def weights_blocks_fused_rows(cov_rows: jnp.ndarray, steer: jnp.ndarray,
 
     wr = out.reshape(b, s, 2, c, f_pad)[..., :f]          # [B, S, 2, C, F]
     w = jax.lax.complex(wr[:, :, 0], wr[:, :, 1])         # [B, S, C, F]
-    return w if extra else w[:, 0]
+    return (w.reshape((b,) + extra_shape + (c, f)) if extra_shape
+            else w[:, 0])
 
 
 def weights_blocks_fused(covs: jnp.ndarray, steer: jnp.ndarray,
@@ -202,8 +205,10 @@ def weights_blocks_fused(covs: jnp.ndarray, steer: jnp.ndarray,
     covs complex [B, F, C, C], steer complex [B, (S,) C, F] ->
     w complex [B, (S,) C, F])."""
     b, f, c, _ = covs.shape
-    extra = steer.ndim - 3
-    s = steer.shape[1] if extra else 1
+    # arbitrary leading source axes (matching the XLA weights_blocks
+    # contract, ADVICE r4): flatten them all into s, restore on output
+    extra_shape = steer.shape[1:-2]
+    s = int(np.prod(extra_shape)) if extra_shape else 1
     n = b * f
     n_pad = _round_up(n, _TILE)
 
@@ -244,4 +249,5 @@ def weights_blocks_fused(covs: jnp.ndarray, steer: jnp.ndarray,
     wr = out.reshape(s, 2, c, n_pad)[..., :n]             # [S, 2, C, B*F]
     w = jax.lax.complex(wr[:, 0], wr[:, 1])               # [S, C, B*F]
     w = jnp.moveaxis(w.reshape(s, c, b, f), 2, 0)         # [B, S, C, F]
-    return w if extra else w[:, 0]
+    return (w.reshape((b,) + extra_shape + (c, f)) if extra_shape
+            else w[:, 0])

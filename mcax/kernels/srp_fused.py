@@ -20,12 +20,22 @@ SMEM; per pair the kernel
   2. per M-tile fetches the pair's two channel slices of the frame-major
      spectra planes (BlockSpec index maps driven by the prefetched table),
   3. computes the PHAT-weighted CPS for the pair in VMEM,
-  4. accumulates  Re(G . E)  with two MXU matmuls (bf16 passes by default
-     on the real chip — see _use_bf16) into the output tile, which is
-     revisited and accumulated in place across the outer pair loop.
+  4. accumulates  Re(G . E)  with MXU matmuls (bf16x3 hi/lo-split passes
+     by default — see _dot_tier) into a VMEM-RESIDENT [M, G]
+     accumulator: the output BlockSpec's index map is constant, so the
+     whole output block stays in VMEM for the entire grid and is written
+     back to HBM exactly once.  (The r4 version instead revisited
+     [tb, G] output blocks non-consecutively across the outer pair loop
+     and did ``out_ref[...] +=`` on them — Pallas TPU does not guarantee
+     a revisited output block is re-fetched, so at m > tb the
+     accumulator could contain a *different tile's* data; the
+     TPU-faithful interpreter rejects that pattern outright.  The
+     resident accumulator is both correct and cheaper: one [M, G] write
+     instead of one per pair.  M is chunked in the wrapper when the
+     accumulator would not fit VMEM.)
 
 HBM traffic: spectra slices (2 channels x 2 planes per pair) + the [M, G]
-output once per pair — no CPS tensor, no steering matrices.  Reference analogue:
+output ONCE — no CPS tensor, no steering matrices.  Reference analogue:
 the mcarray SRP-PHAT module's (grid x pair x bin) triple loop (SURVEY.md
 §3.3), collapsed to MXU matmuls with the steering table rematerialised
 on-chip — a TPU-only design point (the C++/IPP reference has the opposite
@@ -53,45 +63,100 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _use_bf16() -> bool:
-    """bf16 MXU passes for the steering matmuls (fp32 accumulate).
+def _dot_tier() -> str:
+    """MXU precision tier for the steering matmuls: ``x1 | x3 | x6``.
 
-    Measured r4, AFTER the pair-outer grid inversion: bf16 is SLOWER than
-    fp32 at the batched config-4 shape (1.62 vs 1.52 ms standalone) — the
-    per-step f32→bf16 casts and the (16, 128) retiling of operands that
-    live in VMEM as (8, 128) f32 tiles cost more than the saved MXU
-    passes — while also adding ~2e-3 surface error.  fp32 is therefore
-    the default everywhere; the knob (MCAX_SRP_FUSED_BF16=1) remains for
-    A/B runs on future hardware where the trade may flip."""
-    return os.environ.get("MCAX_SRP_FUSED_BF16", "0") == "1"
+    r5 finding: Mosaic's DEFAULT f32 dot is a SINGLE bf16 MXU pass —
+    ~1e-3 relative surface error, which r4 shipped unknowingly (and
+    partly mis-attributed to cos/sin range reduction).  The honest
+    tiers, all fp32-accumulated:
+
+      x1 — one bf16 pass per dot (~1e-3 rel; the r4 de-facto behavior).
+      x3 — manual hi/lo bf16 split, 3 passes per dot (~1.5e-5 rel; the
+           dropped lo*lo term bounds the error at ~eps_bf16^2).  The
+           DEFAULT: indistinguishable from fp32 at the surface's
+           peak-choice level and measured within noise of x1 (the
+           kernel is traffic/VPU-bound, BENCH_DETAIL r5).
+      x6 — Precision.HIGHEST (6 passes, full fp32, ~1e-7): the --verify
+           reference tier; measured ~1.7x slower standalone (2.54 vs
+           1.52 ms at the batched config-4 shape).
+
+    Knob: MCAX_SRP_FUSED_DOT=x1|x3|x6 (legacy MCAX_SRP_FUSED_BF16=1
+    aliases x1)."""
+    if os.environ.get("MCAX_SRP_FUSED_BF16", "0") == "1":
+        return "x1"
+    t = os.environ.get("MCAX_SRP_FUSED_DOT", "x3").lower()
+    if t not in ("x1", "x3", "x6"):
+        raise ValueError(f"MCAX_SRP_FUSED_DOT must be x1|x3|x6, got {t!r}")
+    return t
 
 
-def _pick_tb(f_pad: int, g_pad: int, vmem_budget=12 * 2 ** 20) -> int:
-    """M-rows per tile.  Resident per step: 4 spectra slices [tb, f_pad]
-    (double-buffered), the synthesised steering pair [f_pad, g_pad] x ~3
-    temporaries, CPS temporaries, and the [tb, g_pad] output accumulator.
-    Bigger tb = fewer cos/sin rematerialisations per pair — the dominant
-    overhead at small tiles (measured: tb=64 spends ~4 ms in
-    transcendentals at the batched config-4 shape; tb=384 ~0.3 ms)."""
-    def cost(tb):
+def _hi_lo(x):
+    """Split f32 into bf16 hi + bf16 lo with x ~ hi + lo (err ~eps^2)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _plan_tiles(m: int, f_pad: int, g_pad: int,
+                vmem_budget=13 * 2 ** 20) -> tuple[int, int]:
+    """(tb, m_chunk): M-rows per tile and rows per pallas_call.
+
+    Resident for the whole call: the [m_chunk, g_pad] output accumulator
+    (constant output index map) and the synthesised steering pair
+    [f_pad, g_pad] x ~3 temporaries.  Per step: 4 spectra slices
+    [tb, f_pad] (double-buffered) + CPS temporaries.  Since r5 the
+    steering synthesis runs once per (chunk, pair) regardless of tb, so
+    tb only sets the spectra-fetch granularity / dot shape; m_chunk is
+    maximised within budget so acceptance shapes (m <= 4096 at G=360)
+    run in a single chunk and pay a single [M, G] output write."""
+    tb_env = os.environ.get("MCAX_SRP_FUSED_TB")
+    def cost(tb, m_chunk):
         spectra = 2 * 4 * tb * f_pad              # 4 slices, double-buffered
         temps = 4 * tb * f_pad                    # gr/gi/w + cast
         steer = 3 * f_pad * g_pad                 # ang + cos + sin
-        out = 2 * tb * g_pad
-        return 4 * (spectra + temps + steer + out)
+        acc = m_chunk * g_pad                     # resident output block
+        return 4 * (spectra + temps + steer + acc)
 
-    tb = 512
-    while tb > _SUBLANE and cost(tb) > vmem_budget:
-        tb -= 128 if tb > 128 else tb // 2
-    return max(tb, _SUBLANE)
+    tb = 256 if tb_env is None else max(_SUBLANE, int(tb_env))
+    # never tile M past the actual frame count (the sharded scan path
+    # calls this with a handful of frames per block — padding to a big
+    # tile would multiply the MXU + transcendental work ~100x)
+    tb = min(tb, _round_up(m, _SUBLANE))
+    m_chunk = _round_up(m, tb)
+    while m_chunk > tb and cost(tb, m_chunk) > vmem_budget:
+        m_chunk -= tb
+    while tb > _SUBLANE and cost(tb, m_chunk) > vmem_budget:
+        tb //= 2
+        m_chunk = min(m_chunk, _round_up(m, tb))
+    return max(tb, _SUBLANE), max(m_chunk, tb)
 
 
 _PHASOR_SUB = 16    # twiddle split: f = a*_PHASOR_SUB + b
 
+# fp32 two-constant split of 2*pi for the in-kernel range reduction:
+# ang - k*(2pi) computed as (ang - k*HI) - k*LO keeps the reduction error
+# at the ~ulp level instead of k*ulp(2pi).
+_TWO_PI_HI = np.float32(2.0 * np.pi)
+_TWO_PI_LO = np.float32(2.0 * np.pi - np.float64(_TWO_PI_HI))
 
-def _fused_kernel(eps: float, bf16: bool, domega,
+
+def _reduce_angle(ang):
+    """Range-reduce phases into ~[-pi, pi] before cos/sin.
+
+    Mosaic's fast cos/sin loses ~1e-3 of relative accuracy once |phase|
+    reaches ~20 rad (measured r4, TPU_VERIFY_r04), and the steering phase
+    omega_f * tau grows with aperture x sample rate — so without this the
+    kernel's on-chip error was input-dependent (VERDICT r4 weak 5).  One
+    round + two fused mul-subs per element, on the tiny [na+16, G] phasor
+    factors only."""
+    k = jnp.round(ang * np.float32(1.0 / (2.0 * np.pi)))
+    return (ang - k * _TWO_PI_HI) - k * _TWO_PI_LO
+
+
+def _fused_kernel(eps: float, tier: str, domega,
                   pairs_ref, ar_ref, ai_ref, br_ref, bi_ref,
-                  tau_ref, om_ref, out_ref, er_ref, ei_ref):
+                  tau_ref, om_ref, out_ref, *steer_refs):
     k = pl.program_id(0)                                   # pair (outer)
     i = pl.program_id(1)                                   # M-tile (inner)
 
@@ -104,7 +169,7 @@ def _fused_kernel(eps: float, bf16: bool, domega,
         # an fp32->bf16 matmul A/B moved the total by only 2%).
         # E[f, g] = e^{+j omega_f tau_k[g]}  (sign matches steer.py)
         tau_row = tau_ref[k, :]                            # [g_pad]
-        fp = er_ref.shape[0]
+        fp = steer_refs[0].shape[0]
         gp = tau_row.shape[-1]
         if domega is not None:
             # Two-level phasor factorisation: omega_f = f*domega and
@@ -120,6 +185,8 @@ def _fused_kernel(eps: float, bf16: bool, domega,
             ang_b = (jax.lax.broadcasted_iota(jnp.float32,
                                               (_PHASOR_SUB, 1), 0)
                      * np.float32(domega)) * tau_row[None, :]
+            ang_a = _reduce_angle(ang_a)
+            ang_b = _reduce_angle(ang_b)
             ca, sa = jnp.cos(ang_a), jnp.sin(ang_a)        # [na, gp]
             cb, sb = jnp.cos(ang_b), jnp.sin(ang_b)        # [16, gp]
             er = (ca[:, None, :] * cb[None, :, :]
@@ -128,12 +195,21 @@ def _fused_kernel(eps: float, bf16: bool, domega,
                   + ca[:, None, :] * sb[None, :, :]).reshape(fp, gp)
         else:
             ang = om_ref[0, :][:, None] * tau_row[None, :]  # [f_pad, g_pad]
+            ang = _reduce_angle(ang)
             er = jnp.cos(ang)
             ei = jnp.sin(ang)
-        er_ref[...] = er.astype(er_ref.dtype)
-        ei_ref[...] = ei.astype(ei_ref.dtype)
+        if tier == "x3":
+            er_h, er_l, ei_h, ei_l = steer_refs
+            er_h[...], er_l[...] = _hi_lo(er)
+            ei_h[...], ei_l[...] = _hi_lo(ei)
+        else:
+            er_ref, ei_ref = steer_refs
+            er_ref[...] = er.astype(er_ref.dtype)
+            ei_ref[...] = ei.astype(ei_ref.dtype)
 
-    @pl.when(k == 0)
+    tb = ar_ref.shape[1]
+
+    @pl.when(jnp.logical_and(k == 0, i == 0))
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -147,11 +223,38 @@ def _fused_kernel(eps: float, bf16: bool, domega,
     w = valid / (jnp.sqrt(gr * gr + gi * gi) + np.float32(eps))
     gr = gr * w
     gi = gi * w
-    if bf16:
-        gr, gi = gr.astype(jnp.bfloat16), gi.astype(jnp.bfloat16)
-    out_ref[...] += (
-        jnp.dot(gr, er_ref[...], preferred_element_type=jnp.float32)
-        - jnp.dot(gi, ei_ref[...], preferred_element_type=jnp.float32))
+
+    def dot(a, b, prec=jax.lax.Precision.DEFAULT):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=prec)
+
+    if tier == "x3":
+        # (ah+al)(bh+bl) ~ ah.bh + ah.bl + al.bh — the dropped lo*lo term
+        # bounds the error at ~eps_bf16^2 ~ 1.5e-5; steering was split
+        # once per pair at synthesis, the CPS is split here per tile.
+        er_h, er_l, ei_h, ei_l = steer_refs
+        gr_h, gr_l = _hi_lo(gr)
+        gi_h, gi_l = _hi_lo(gi)
+        acc = (dot(gr_h, er_h[...]) + dot(gr_h, er_l[...])
+               + dot(gr_l, er_h[...])
+               - dot(gi_h, ei_h[...]) - dot(gi_h, ei_l[...])
+               - dot(gi_l, ei_h[...]))
+    else:
+        er_ref, ei_ref = steer_refs
+        if tier == "x1":
+            gr, gi = gr.astype(jnp.bfloat16), gi.astype(jnp.bfloat16)
+        # x6: Mosaic's DEFAULT f32 dot is one bf16 MXU pass (~1e-3 rel
+        # err — the r5 finding behind the tier split, see _dot_tier);
+        # HIGHEST requests the full 6-pass fp32-accurate form.
+        prec = (jax.lax.Precision.HIGHEST if tier == "x6"
+                else jax.lax.Precision.DEFAULT)
+        acc = dot(gr, er_ref[...], prec) - dot(gi, ei_ref[...], prec)
+    # The output block's index map is CONSTANT, so out_ref is one
+    # VMEM-resident [m_chunk, g_pad] accumulator for the whole grid —
+    # the += below never depends on a revisited block being re-fetched
+    # (the r4 hazard), and HBM sees a single writeback at the end.
+    row = pl.multiple_of(i * tb, tb)
+    out_ref[pl.ds(row, tb), :] += acc
 
 
 def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
@@ -181,10 +284,7 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
     g = grid_points
     f_pad = _round_up(f, _LANE)
     g_pad = _round_up(g, _LANE)
-    # never pad M past the actual frame count (the sharded scan path calls
-    # this with a handful of frames per block — padding to the VMEM-derived
-    # tile would multiply the MXU + transcendental work ~100x)
-    tb = min(_pick_tb(f_pad, g_pad), _round_up(m, _SUBLANE))
+    tb, m_chunk = _plan_tiles(m, f_pad, g_pad)
     m_pad = _round_up(m, tb)
 
     def prep(x):
@@ -212,46 +312,61 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
             domega = d
 
     # Grid: PAIR outer, M-tile inner (r4) — the pair's steering tile is
-    # synthesised once into VMEM scratch and reused across every M-tile;
-    # the output tiles are revisited per pair and accumulate in place
-    # (an [m, g] re-fetch per pair, far cheaper than re-synthesising the
-    # [f_pad, g_pad] steering expansion per (M-tile, pair)).
-    bf16 = _use_bf16()
-    steer_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    # synthesised once into VMEM scratch and reused across every M-tile.
+    # The output is ONE VMEM-resident [m_chunk, g_pad] block (constant
+    # index map — r5): accumulation never touches a revisited block and
+    # HBM sees a single output write per chunk.  M is chunked only when
+    # that accumulator would not fit the VMEM budget (never at the
+    # acceptance shapes: m <= 4096 at G=360 is a single chunk).
+    tier = _dot_tier()
+    if tier == "x3":
+        # hi/lo bf16 steering planes: 4 buffers x 2 B = same VMEM as 2 f32
+        scratch = [pltpu.VMEM((f_pad, g_pad), jnp.bfloat16)
+                   for _ in range(4)]
+    else:
+        steer_dtype = jnp.bfloat16 if tier == "x1" else jnp.float32
+        scratch = [pltpu.VMEM((f_pad, g_pad), steer_dtype)
+                   for _ in range(2)]
     spec_a = pl.BlockSpec((1, tb, f_pad), lambda k, i, ps: (ps[k, 0], i, 0),
                           memory_space=pltpu.VMEM)
     spec_b = pl.BlockSpec((1, tb, f_pad), lambda k, i, ps: (ps[k, 1], i, 0),
                           memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                             # pairs -> SMEM
-        grid=(p, m_pad // tb),
-        in_specs=[
-            spec_a, spec_a,                                # re/im of chan a
-            spec_b, spec_b,                                # re/im of chan b
-            pl.BlockSpec((p, g_pad), lambda k, i, ps: (0, 0),
-                         memory_space=pltpu.VMEM),         # full tau table
-            pl.BlockSpec((_SUBLANE, f_pad), lambda k, i, ps: (0, 0),
-                         memory_space=pltpu.VMEM),         # omega row
-        ],
-        out_specs=pl.BlockSpec((tb, g_pad), lambda k, i, ps: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((f_pad, g_pad), steer_dtype),
-                        pltpu.VMEM((f_pad, g_pad), steer_dtype)],
-    )
     sr, si = prep(st_re), prep(st_im)
-    out = pl.pallas_call(
-        functools.partial(_fused_kernel, float(eps), bf16, domega),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m_pad, g_pad), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * m_pad * p * f_pad * g_pad,
-            bytes_accessed=4 * (4 * m_pad * f_pad * p + m_pad * g_pad * p),
-            transcendentals=2 * p * g_pad * (
-                f_pad // _PHASOR_SUB + _PHASOR_SUB if domega is not None
-                else f_pad),
-        ),
-        interpret=dispatch.interpret_mode(),
-    )(ptab, sr, si, sr, si, tau_pad, jnp.asarray(om_pad))
+    om_dev = jnp.asarray(om_pad)
+    chunks = []
+    for m0 in range(0, m_pad, m_chunk):
+        mc = min(m_chunk, m_pad - m0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,                         # pairs -> SMEM
+            grid=(p, mc // tb),
+            in_specs=[
+                spec_a, spec_a,                            # re/im of chan a
+                spec_b, spec_b,                            # re/im of chan b
+                pl.BlockSpec((p, g_pad), lambda k, i, ps: (0, 0),
+                             memory_space=pltpu.VMEM),     # full tau table
+                pl.BlockSpec((_SUBLANE, f_pad), lambda k, i, ps: (0, 0),
+                             memory_space=pltpu.VMEM),     # omega row
+            ],
+            out_specs=pl.BlockSpec((mc, g_pad), lambda k, i, ps: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=list(scratch),
+        )
+        srm = jax.lax.slice_in_dim(sr, m0, m0 + mc, axis=1)
+        sim = jax.lax.slice_in_dim(si, m0, m0 + mc, axis=1)
+        chunks.append(pl.pallas_call(
+            functools.partial(_fused_kernel, float(eps), tier, domega),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mc, g_pad), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * mc * p * f_pad * g_pad,
+                bytes_accessed=4 * (4 * mc * f_pad * p + mc * g_pad),
+                transcendentals=2 * p * g_pad * (
+                    f_pad // _PHASOR_SUB + _PHASOR_SUB if domega is not None
+                    else f_pad),
+            ),
+            interpret=dispatch.interpret_mode(),
+        )(ptab, srm, sim, srm, sim, tau_pad, om_dev))
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     return out[:m, :g]

@@ -92,21 +92,97 @@ def test_srp_fused_matches_xla(monkeypatch, c, radius, f, g_pts, m, band):
     want = surface()
     assert got.shape == want.shape == (m, g_pts)
     scale = np.max(np.abs(want)) + 1e-12
-    # On the real chip the fused kernel's steering phases come from
-    # Mosaic's fast cos/sin, whose range reduction at |phase| ~ 20 rad
-    # costs ~2e-3 of the surface scale (measured r4) vs the
-    # host-precomputed fp32 phases of the xla path.  5e-3 still fails any
-    # real precision regression (a bf16 pass errs at ~1e-1 here), and the
-    # functional property — the surface's peak choice — is asserted
-    # exactly below.  End-to-end DOA on a real source recovers the
-    # injected angle to <1e-5 deg on this path (tools/ verify drive).
-    atol = 5e-3 if _ON_TPU else 3e-6
+    # The default bf16x3 dot tier carries ~1.5e-5 relative error (the
+    # dropped lo*lo term of the hi/lo split — srp_fused._dot_tier); with
+    # the r5 in-kernel phase range reduction there is no longer any
+    # aperture/sample-rate-dependent term on top (VERDICT r4 weak 5:
+    # was 1.9e-3 against a 1e-2 bound; now 1e-4 holds on-chip).
+    atol = 1e-4 if _ON_TPU else 3e-5
     np.testing.assert_allclose(got / scale, want / scale, atol=atol)
     if _ON_TPU:
         rows = np.arange(m)
         peak_true = want[rows, want.argmax(-1)]
         peak_got = want[rows, got.argmax(-1)]     # true surface, got's pick
-        assert np.all(peak_true - peak_got <= 5e-3 * scale)
+        assert np.all(peak_true - peak_got <= 1e-4 * scale)
+
+
+def test_srp_fused_x6_tier_is_fp32_exact(monkeypatch):
+    """The x6 (Precision.HIGHEST) tier matches the XLA fp32 path to
+    fp32-roundoff — pins that the tier knob reaches a true fp32 form."""
+    from mcax.algos import srp
+    geom = geo.ArrayGeometry(positions=geo.circular_positions(8, 0.05),
+                             sample_rate=16000)
+    plan = srp.make_plan(geom, 512, 360)
+    spec = _spec(c=8, t=24, f=257, seed=9)
+
+    def surface():
+        import jax
+
+        @jax.jit
+        def run(sr, si):
+            return srp.srp_surface(jax.lax.complex(sr, si), geom.pairs,
+                                   plan)
+        return np.asarray(run(np.ascontiguousarray(spec.real),
+                              np.ascontiguousarray(spec.imag)))
+
+    monkeypatch.setenv("MCAX_SRP", "fused")
+    monkeypatch.setenv("MCAX_SRP_FUSED_DOT", "x6")
+    got = surface()
+    monkeypatch.setenv("MCAX_SRP", "xla")
+    monkeypatch.setenv("MCAX_BACKEND", "xla")
+    want = surface()
+    scale = np.max(np.abs(want)) + 1e-12
+    np.testing.assert_allclose(got / scale, want / scale,
+                               atol=2e-6 if _ON_TPU else 3e-6)
+
+
+@pytest.mark.parametrize("m,tb,chunk_rows", [
+    (160, 64, None),       # 3 M-tiles, single chunk (the r4 hazard shape)
+    (200, 64, 128),        # multiple chunks: 2 x 128 + pad, 2 tiles each
+])
+def test_srp_fused_multi_tile_matches_xla(monkeypatch, m, tb, chunk_rows):
+    """m > tb exercises output-accumulator correctness across M-tiles.
+
+    The r4 kernel accumulated into [tb, G] output blocks revisited
+    NON-consecutively across the outer pair loop — a pattern Pallas TPU
+    does not guarantee re-fetches the block, so at m > tb the surface
+    could silently contain another tile's partial sums (ADVICE r4 high).
+    The r5 kernel keeps one VMEM-resident accumulator per M-chunk; this
+    pins parity at multi-tile and multi-chunk shapes."""
+    from mcax.algos import srp
+    from mcax.kernels import srp_fused
+    monkeypatch.setenv("MCAX_SRP_FUSED_TB", str(tb))
+    if chunk_rows is not None:
+        # force the planner to split M into chunk_rows-row chunks
+        orig = srp_fused._plan_tiles
+        monkeypatch.setattr(
+            srp_fused, "_plan_tiles",
+            lambda mm, fp, gp, **kw: (orig(mm, fp, gp, **kw)[0],
+                                      chunk_rows))
+    geom = geo.ArrayGeometry(positions=geo.circular_positions(8, 0.05),
+                             sample_rate=16000)
+    plan = srp.make_plan(geom, 512, 360)
+    spec = _spec(c=8, t=m, f=257, seed=7)
+
+    def surface():
+        import jax
+
+        @jax.jit
+        def run(sr, si):
+            return srp.srp_surface(jax.lax.complex(sr, si), geom.pairs,
+                                   plan)
+        return np.asarray(run(np.ascontiguousarray(spec.real),
+                              np.ascontiguousarray(spec.imag)))
+
+    monkeypatch.setenv("MCAX_SRP", "fused")
+    got = surface()
+    monkeypatch.setenv("MCAX_SRP", "xla")
+    monkeypatch.setenv("MCAX_BACKEND", "xla")
+    want = surface()
+    assert got.shape == want.shape == (m, 360)
+    scale = np.max(np.abs(want)) + 1e-12
+    atol = 1e-4 if _ON_TPU else 3e-5
+    np.testing.assert_allclose(got / scale, want / scale, atol=atol)
 
 
 def test_srp_fused_phasor_matches_direct(monkeypatch):

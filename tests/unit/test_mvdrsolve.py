@@ -65,6 +65,20 @@ def test_fused_weights_match_xla(monkeypatch, b, f, c, s):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
+def test_fused_weights_two_source_axes(monkeypatch):
+    """steer with TWO leading source axes [B, S1, S2, C, F] follows the
+    XLA weights_blocks contract (ADVICE r4: the fused path assumed at
+    most one and raised or silently misinterpreted axes)."""
+    _interpret(monkeypatch)
+    monkeypatch.setenv("MCAX_MVDR", "xla")   # pin the reference path
+    covs, steer = _cov_steer(2, 96, 4, s=6, seed=11)
+    steer = steer.reshape(2, 3, 2, 4, 96)                  # [B, 3, 2, C, F]
+    want = _weights_planes(mvdr.weights_blocks, covs, steer, 0.01)
+    got = _weights_planes(mvdrsolve.weights_blocks_fused, covs, steer, 0.01)
+    assert got.shape == want.shape == steer.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
 def test_fused_weights_distortionless(monkeypatch):
     """w^H d = 1 (the MVDR constraint) holds bin-wise for the kernel."""
     _interpret(monkeypatch)

@@ -15,10 +15,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import subprocess
 import sys
+import tempfile
 import time
+import xml.etree.ElementTree as ET
 
 # The on-chip lane: every file whose tests exercise compiled Pallas
 # kernels or the production pipeline path where it actually ships.
@@ -30,37 +31,53 @@ LANE = [
     "tests/unit/test_pipeline.py",
 ]
 
-_SUMMARY = re.compile(
-    r"(?:(?P<failed>\d+) failed)?(?:, )?(?P<passed>\d+) passed"
-    r"(?:, (?P<skipped>\d+) skipped)?")
-
 
 def run_file(path: str, timeout: float) -> dict:
+    """One pytest process per file; counts come from --junit-xml, NOT a
+    regex over the terminal summary (VERDICT r4 weak 6: a -q format
+    change or an error before collection could mis-parse as 0/0 with a
+    green look).  The exit code is authoritative for ok-ness; an
+    unparsable/missing XML is reported as a failure, never as silence."""
     t0 = time.time()
     env = dict(os.environ, MCAX_TEST_PLATFORM="tpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.NamedTemporaryFile(suffix=".xml", delete=False) as tf:
+        junit = tf.name
     try:
         proc = subprocess.run(
-            [sys.executable, "-m", "pytest", path, "-q", "--tb=line"],
+            [sys.executable, "-m", "pytest", path, "-q", "--tb=line",
+             f"--junit-xml={junit}"],
             capture_output=True, text=True, timeout=timeout, env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        tail = proc.stdout.strip().splitlines()[-15:]
-        m = None
-        for line in reversed(tail):
-            m = _SUMMARY.search(line)
-            if m and m.group("passed"):
-                break
+            cwd=repo)
         res = {"file": path, "rc": proc.returncode,
-               "passed": int(m.group("passed")) if m and m.group("passed")
-               else 0,
-               "failed": int(m.group("failed")) if m and m.group("failed")
-               else 0,
+               "passed": 0, "failed": 0,
                "wall_s": round(time.time() - t0, 1)}
-        if proc.returncode not in (0,):
-            res["tail"] = tail[-8:]
+        try:
+            suite = ET.parse(junit).getroot()
+            if suite.tag != "testsuite":      # pytest nests under testsuites
+                suite = suite.find("testsuite")
+            tests = int(suite.get("tests", 0))
+            errors = int(suite.get("errors", 0))
+            failures = int(suite.get("failures", 0))
+            skipped = int(suite.get("skipped", 0))
+            res["failed"] = errors + failures
+            res["passed"] = tests - errors - failures - skipped
+            if skipped:
+                res["skipped"] = skipped
+        except (ET.ParseError, OSError, AttributeError, TypeError):
+            res["failed"] = max(res["failed"], 1)
+            res["parse_error"] = "missing/unparsable junit xml"
+        if proc.returncode != 0 or res["failed"]:
+            res["tail"] = proc.stdout.strip().splitlines()[-8:]
         return res
     except subprocess.TimeoutExpired:
-        return {"file": path, "rc": "timeout", "passed": 0, "failed": 0,
+        return {"file": path, "rc": "timeout", "passed": 0, "failed": 1,
                 "wall_s": round(time.time() - t0, 1)}
+    finally:
+        try:
+            os.unlink(junit)
+        except OSError:
+            pass
 
 
 def main(argv=None) -> int:
@@ -81,7 +98,7 @@ def main(argv=None) -> int:
     for path in (args.files or LANE):
         res = run_file(path, args.timeout)
         report["files"].append(res)
-        ok = ok and res["rc"] == 0
+        ok = ok and res["rc"] == 0 and res["failed"] == 0
         print(json.dumps(res), flush=True)
     report["total_passed"] = sum(r["passed"] for r in report["files"])
     report["total_failed"] = sum(r["failed"] for r in report["files"])
