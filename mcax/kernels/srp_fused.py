@@ -99,36 +99,44 @@ def _hi_lo(x):
 
 
 def _plan_tiles(m: int, f_pad: int, g_pad: int,
-                vmem_budget=13 * 2 ** 20) -> tuple[int, int]:
+                vmem_budget=15_300_000) -> tuple[int, int]:
     """(tb, m_chunk): M-rows per tile and rows per pallas_call.
 
     Resident for the whole call: the [m_chunk, g_pad] output accumulator
-    (constant output index map) and the synthesised steering pair
-    [f_pad, g_pad] x ~3 temporaries.  Per step: 4 spectra slices
-    [tb, f_pad] (double-buffered) + CPS temporaries.  Since r5 the
-    steering synthesis runs once per (chunk, pair) regardless of tb, so
-    tb only sets the spectra-fetch granularity / dot shape; m_chunk is
-    maximised within budget so acceptance shapes (m <= 4096 at G=360)
-    run in a single chunk and pay a single [M, G] output write."""
-    tb_env = os.environ.get("MCAX_SRP_FUSED_TB")
-    def cost(tb, m_chunk):
-        spectra = 2 * 4 * tb * f_pad              # 4 slices, double-buffered
-        temps = 4 * tb * f_pad                    # gr/gi/w + cast
-        steer = 3 * f_pad * g_pad                 # ang + cos + sin
-        acc = m_chunk * g_pad                     # resident output block
-        return 4 * (spectra + temps + steer + acc)
+    (constant output index map, single-buffered) and the synthesised
+    steering scratch + its expansion temporaries.  Per step: 4 spectra
+    slices [tb, f_pad] (double-buffered) + CPS/mask temporaries.  The
+    steering synthesis runs once per (chunk, pair) regardless of tb
+    (r5), so tb only sets the spectra-fetch granularity / dot shape;
+    m_chunk is maximised within budget so acceptance shapes run in few
+    chunks.
 
-    tb = 256 if tb_env is None else max(_SUBLANE, int(tb_env))
+    The usage model is EMPIRICAL, calibrated against Mosaic's scoped-
+    vmem allocator on v5e (r5: compile probes at the batch-512 config-4
+    shape measured 16.08-17.38 MB for plans a naive buffer-sum model
+    called ~13 MB — the gap is kernel stack temporaries):
+      bytes ~ 13*f_pad*4 * tb  +  g_pad*4 * m_chunk  +  26*f_pad*g_pad
+    Verified fits: (192, 1536) -> 15.0 MB model, compiles; rejects:
+    (256, 1536) -> 17.1 model vs 17.0 measured, (192, 2304) -> 16.2 vs
+    16.08 measured."""
+    tb_env = os.environ.get("MCAX_SRP_FUSED_TB")
+
+    def usage(tb, m_chunk):
+        per_tb = 13 * f_pad * 4     # 2x4 double-buffered slices + stack
+        const = 26 * f_pad * g_pad  # steering scratch + synthesis temps
+        return tb * per_tb + m_chunk * g_pad * 4 + const
+
+    tb = 192 if tb_env is None else max(_SUBLANE, int(tb_env))
     # never tile M past the actual frame count (the sharded scan path
     # calls this with a handful of frames per block — padding to a big
     # tile would multiply the MXU + transcendental work ~100x)
     tb = min(tb, _round_up(m, _SUBLANE))
     m_chunk = _round_up(m, tb)
-    while m_chunk > tb and cost(tb, m_chunk) > vmem_budget:
+    while m_chunk > tb and usage(tb, m_chunk) > vmem_budget:
         m_chunk -= tb
-    while tb > _SUBLANE and cost(tb, m_chunk) > vmem_budget:
-        tb //= 2
-        m_chunk = min(m_chunk, _round_up(m, tb))
+    while tb > _SUBLANE and usage(tb, m_chunk) > vmem_budget:
+        tb = max(_SUBLANE, tb // 2)
+        m_chunk = min(m_chunk - m_chunk % tb, _round_up(m, tb))
     return max(tb, _SUBLANE), max(m_chunk, tb)
 
 
@@ -154,7 +162,7 @@ def _reduce_angle(ang):
     return (ang - k * _TWO_PI_HI) - k * _TWO_PI_LO
 
 
-def _fused_kernel(eps: float, tier: str, domega,
+def _fused_kernel(eps: float, tier: str, domega, f_true: int,
                   pairs_ref, ar_ref, ai_ref, br_ref, bi_ref,
                   tau_ref, om_ref, out_ref, *steer_refs):
     k = pl.program_id(0)                                   # pair (outer)
@@ -162,11 +170,12 @@ def _fused_kernel(eps: float, tier: str, domega,
 
     @pl.when(i == 0)
     def _steer():
-        # Steering tile for this pair, synthesised on-chip ONCE and kept
-        # in VMEM scratch across all M-tiles (r4: with the old M-outer
-        # grid this expansion re-ran per (M-tile, pair) and — together
-        # with the spectra re-reads — was the kernel's real bottleneck;
-        # an fp32->bf16 matmul A/B moved the total by only 2%).
+        # Steering tile for this pair, synthesised on-chip ONCE per
+        # (chunk, pair) and kept in VMEM scratch across all M-tiles (r4:
+        # with the old M-outer grid this expansion re-ran per
+        # (M-tile, pair) and — together with the spectra re-reads — was
+        # the kernel's real bottleneck; an fp32->bf16 matmul A/B moved
+        # the total by only 2%).
         # E[f, g] = e^{+j omega_f tau_k[g]}  (sign matches steer.py)
         tau_row = tau_ref[k, :]                            # [g_pad]
         fp = steer_refs[0].shape[0]
@@ -221,8 +230,13 @@ def _fused_kernel(eps: float, tier: str, domega,
     # their contribution must vanish; folded into the PHAT weight for free)
     valid = pairs_ref[k, 2].astype(jnp.float32)
     w = valid / (jnp.sqrt(gr * gr + gi * gi) + np.float32(eps))
-    gr = gr * w
-    gi = gi * w
+    # spectra are consumed UNPADDED: bins >= f_true are the edge block's
+    # masked-load region (unspecified values) — a select (not a multiply:
+    # NaN*0 = NaN) pins their CPS contribution to zero
+    fmask = (jax.lax.broadcasted_iota(jnp.int32, gr.shape, 1)
+             < np.int32(f_true))
+    gr = jnp.where(fmask, gr * w, 0.0)
+    gi = jnp.where(fmask, gi * w, 0.0)
 
     def dot(a, b, prec=jax.lax.Precision.DEFAULT):
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
@@ -285,10 +299,8 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
     f_pad = _round_up(f, _LANE)
     g_pad = _round_up(g, _LANE)
     tb, m_chunk = _plan_tiles(m, f_pad, g_pad)
-    m_pad = _round_up(m, tb)
-
-    def prep(x):
-        return jnp.pad(x, ((0, 0), (0, m_pad - m), (0, f_pad - f)))
+    n_chunks = -(-m // m_chunk)
+    n_tiles = m_chunk // tb
 
     tau_pad = jnp.pad(jnp.asarray(tau, jnp.float32),
                       ((0, 0), (0, g_pad - g)))
@@ -311,13 +323,18 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
                        rtol=1e-9, atol=abs(d) * 1e-9):
             domega = d
 
-    # Grid: PAIR outer, M-tile inner (r4) — the pair's steering tile is
-    # synthesised once into VMEM scratch and reused across every M-tile.
-    # The output is ONE VMEM-resident [m_chunk, g_pad] block (constant
-    # index map — r5): accumulation never touches a revisited block and
-    # HBM sees a single output write per chunk.  M is chunked only when
-    # that accumulator would not fit the VMEM budget (never at the
-    # acceptance shapes: m <= 4096 at G=360 is a single chunk).
+    # One pallas_call per M-chunk, grid (pair, M-tile) with pair OUTER:
+    # the pair's steering tile is synthesised once per (chunk, pair) into
+    # VMEM scratch and reused across the chunk's M-tiles.  The output is
+    # the call's whole [m_chunk, g_pad] block with a CONSTANT index map —
+    # one single-buffered VMEM-resident accumulator (accumulation never
+    # touches a revisited block, the r4 hazard).  Spectra are consumed
+    # UNPADDED and UNSLICED (r5): every chunk call reads the same full
+    # [C, M, F] planes with an M-offset folded into the BlockSpec index
+    # map, Pallas masks the edge blocks, and pad bins are killed
+    # in-kernel via the PHAT-weight mask — the former jnp.pad to
+    # [C, M_pad, F_pad] plus per-chunk slice copies (~0.5 GB/dispatch of
+    # pure copy at the batch-512 config-4 shape) are gone.
     tier = _dot_tier()
     if tier == "x3":
         # hi/lo bf16 steering planes: 4 buffers x 2 B = same VMEM as 2 f32
@@ -327,18 +344,22 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
         steer_dtype = jnp.bfloat16 if tier == "x1" else jnp.float32
         scratch = [pltpu.VMEM((f_pad, g_pad), steer_dtype)
                    for _ in range(2)]
-    spec_a = pl.BlockSpec((1, tb, f_pad), lambda k, i, ps: (ps[k, 0], i, 0),
-                          memory_space=pltpu.VMEM)
-    spec_b = pl.BlockSpec((1, tb, f_pad), lambda k, i, ps: (ps[k, 1], i, 0),
-                          memory_space=pltpu.VMEM)
-    sr, si = prep(st_re), prep(st_im)
     om_dev = jnp.asarray(om_pad)
     chunks = []
-    for m0 in range(0, m_pad, m_chunk):
-        mc = min(m_chunk, m_pad - m0)
+    for cnk in range(n_chunks):
+        base = cnk * n_tiles            # M block offset, in units of tb
+        mc = min(m_chunk, m - cnk * m_chunk)
+        spec_a = pl.BlockSpec(
+            (1, tb, f_pad),
+            lambda k, i, ps, base=base: (ps[k, 0], base + i, 0),
+            memory_space=pltpu.VMEM)
+        spec_b = pl.BlockSpec(
+            (1, tb, f_pad),
+            lambda k, i, ps, base=base: (ps[k, 1], base + i, 0),
+            memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,                         # pairs -> SMEM
-            grid=(p, mc // tb),
+            grid=(p, -(-mc // tb)),
             in_specs=[
                 spec_a, spec_a,                            # re/im of chan a
                 spec_b, spec_b,                            # re/im of chan b
@@ -347,26 +368,28 @@ def srp_power_fused(st_re: jnp.ndarray, st_im: jnp.ndarray,
                 pl.BlockSpec((_SUBLANE, f_pad), lambda k, i, ps: (0, 0),
                              memory_space=pltpu.VMEM),     # omega row
             ],
-            out_specs=pl.BlockSpec((mc, g_pad), lambda k, i, ps: (0, 0),
+            # constant index map: ONE single-buffered VMEM-resident
+            # accumulator per call (a chunk-indexed map would be double-
+            # buffered by the pipeline — measured 20 MB > the 16 MB VMEM
+            # at the batch-512 shape)
+            out_specs=pl.BlockSpec((m_chunk, g_pad),
+                                   lambda k, i, ps: (0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=list(scratch),
         )
-        srm = jax.lax.slice_in_dim(sr, m0, m0 + mc, axis=1)
-        sim = jax.lax.slice_in_dim(si, m0, m0 + mc, axis=1)
         chunks.append(pl.pallas_call(
-            functools.partial(_fused_kernel, float(eps), tier, domega),
+            functools.partial(_fused_kernel, float(eps), tier, domega, f),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((mc, g_pad), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((mc, g), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             cost_estimate=pl.CostEstimate(
                 flops=4 * mc * p * f_pad * g_pad,
-                bytes_accessed=4 * (4 * mc * f_pad * p + mc * g_pad),
+                bytes_accessed=4 * (4 * mc * f * p + mc * g),
                 transcendentals=2 * p * g_pad * (
                     f_pad // _PHASOR_SUB + _PHASOR_SUB if domega is not None
                     else f_pad),
             ),
             interpret=dispatch.interpret_mode(),
-        )(ptab, srm, sim, srm, sim, tau_pad, om_dev))
-    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-    return out[:m, :g]
+        )(ptab, st_re, st_im, st_re, st_im, tau_pad, om_dev))
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
