@@ -44,8 +44,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(c: int, t: int, lam: float, xr_ref, xi_ref, cov0_ref,
-            out_ref, acc_ref):
+def _kernel(c: int, t: int, lam: float, f_true: int, xr_ref, xi_ref,
+            cov0_ref, out_ref, acc_ref):
+    ft = pl.program_id(0)
     b = pl.program_id(1)
 
     @pl.when(b == 0)
@@ -54,6 +55,15 @@ def _kernel(c: int, t: int, lam: float, xr_ref, xi_ref, cov0_ref,
 
     xr = xr_ref[:, 0]                                     # [C, T, ft]
     xi = xi_ref[:, 0]
+    # spectra are consumed UNPADDED (r5): bins >= f_true are the edge
+    # block's masked-load region (unspecified values).  A select pins
+    # them to zero so the output's pad bins stay EXACTLY zero — the
+    # rows-path MVDR solve relies on zero covariance + pivot floors for
+    # pad-bin finiteness (mvdrsolve.weights_blocks_fused_rows).
+    fmask = (jax.lax.broadcasted_iota(jnp.int32, xr.shape, 2)
+             + ft * np.int32(_LANE)) < np.int32(f_true)
+    xr = jnp.where(fmask, xr, 0.0)
+    xi = jnp.where(fmask, xi, 0.0)
     # w_t = (1-lam) * lam^{T-1-t}, synthesised on-chip (lam > 0)
     k = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0).astype(jnp.float32)
     w = (np.float32(1.0 - lam)
@@ -100,11 +110,12 @@ def block_prefixes_rows(spectra: jnp.ndarray, cov0, forget: float,
     f_pad = _round_up(f, _LANE)
     rows = 2 * c * c
 
-    def prep(x):
-        return jnp.pad(x.reshape(c, b, t, f),
-                       ((0, 0), (0, 0), (0, 0), (0, f_pad - f)))
-
-    xr, xi = prep(jnp.real(spectra)), prep(jnp.imag(spectra))
+    # inputs stay UNPADDED: the reshape is a view, Pallas masks the edge
+    # F block and the kernel zero-selects the masked bins (the former
+    # jnp.pad to F_pad materialised two full [C, B, T, F_pad] copies —
+    # ~1.6 ms/dispatch of the batch-512 config-4 profile)
+    xr = jnp.real(spectra).reshape(c, b, t, f)
+    xi = jnp.imag(spectra).reshape(c, b, t, f)
     if cov0 is None:
         cov0_rows = jnp.zeros((rows, f_pad), jnp.float32)
     else:                                                 # [F, C, C] complex
@@ -115,7 +126,7 @@ def block_prefixes_rows(spectra: jnp.ndarray, cov0, forget: float,
 
     grid = (f_pad // _LANE, b)
     out = pl.pallas_call(
-        functools.partial(_kernel, c, t, float(forget)),
+        functools.partial(_kernel, c, t, float(forget), f),
         grid=grid,
         in_specs=[
             pl.BlockSpec((c, 1, t, _LANE), lambda ft, bb: (0, bb, 0, ft),
