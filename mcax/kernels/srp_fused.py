@@ -113,17 +113,22 @@ def _plan_tiles(m: int, f_pad: int, g_pad: int,
 
     The usage model is EMPIRICAL, calibrated against Mosaic's scoped-
     vmem allocator on v5e (r5: compile probes at the batch-512 config-4
-    shape measured 16.08-17.38 MB for plans a naive buffer-sum model
-    called ~13 MB — the gap is kernel stack temporaries):
-      bytes ~ 13*f_pad*4 * tb  +  g_pad*4 * m_chunk  +  26*f_pad*g_pad
-    Verified fits: (192, 1536) -> 15.0 MB model, compiles; rejects:
-    (256, 1536) -> 17.1 model vs 17.0 measured, (192, 2304) -> 16.2 vs
-    16.08 measured."""
+    shape; a naive buffer-sum model misses ~4 MB of kernel stack
+    temporaries):
+      bytes ~ 13*f_pad*4 * tb  +  g_pad*4 * m_chunk  +  5*f_pad*g_pad
+    The 5*f_pad*g_pad constant holds AFTER the _SYNTH_SPLIT slab
+    synthesis (it was ~26*f_pad*g_pad with whole-F expansion temps).
+    Verified against measured allocator sizes: (256, 4608) -> model
+    16.90 MB = measured 16.90 (reject), (192, 6144) -> 17.02 vs 17.10
+    (reject), (192, 4608) / (256, 3072) compile."""
     tb_env = os.environ.get("MCAX_SRP_FUSED_TB")
 
     def usage(tb, m_chunk):
         per_tb = 13 * f_pad * 4     # 2x4 double-buffered slices + stack
-        const = 26 * f_pad * g_pad  # steering scratch + synthesis temps
+        # steering scratch + slab temps; the measured constant varies
+        # ~1.3 MB between embedding programs (same plan probed 1.27 vs
+        # 2.52 MB const in two jits), so this carries the WORST observed
+        const = 11 * f_pad * g_pad
         return tb * per_tb + m_chunk * g_pad * 4 + const
 
     tb = 192 if tb_env is None else max(_SUBLANE, int(tb_env))
@@ -141,6 +146,7 @@ def _plan_tiles(m: int, f_pad: int, g_pad: int,
 
 
 _PHASOR_SUB = 16    # twiddle split: f = a*_PHASOR_SUB + b
+_SYNTH_SPLIT = 4    # steering synthesis F-slabs (VMEM temp reduction)
 
 # fp32 two-constant split of 2*pi for the in-kernel range reduction:
 # ang - k*(2pi) computed as (ang - k*HI) - k*LO keeps the reduction error
@@ -177,44 +183,57 @@ def _fused_kernel(eps: float, tier: str, domega, f_true: int,
         # the kernel's real bottleneck; an fp32->bf16 matmul A/B moved
         # the total by only 2%).
         # E[f, g] = e^{+j omega_f tau_k[g]}  (sign matches steer.py)
+        # Synthesised in _SYNTH_SPLIT F-slabs so the expansion's f32
+        # temporaries cover f_pad/_SYNTH_SPLIT rows at a time — the
+        # constant-VMEM term this shaves (~2 MB at config-4 shapes) buys
+        # a 2x larger m_chunk, i.e. half the chunk calls and half the
+        # per-chunk synthesis cost (r5; ~0.74 ms fixed per chunk call
+        # measured at the batched config-4 shape).
         tau_row = tau_ref[k, :]                            # [g_pad]
         fp = steer_refs[0].shape[0]
         gp = tau_row.shape[-1]
-        if domega is not None:
-            # Two-level phasor factorisation: omega_f = f*domega and
-            # f = a*16 + b give E[f] = A[a]*B[b], A = e^{j*16a*domega*tau},
-            # B = e^{j*b*domega*tau} — (fp/16 + 16) rows of cos/sin
-            # instead of fp rows (~11x fewer transcendentals), then one
-            # unit-phasor complex multiply per element (~1 ulp phase
-            # error).  The omega ramp continues past F into the pad rows,
-            # which multiply zeroed CPS — values moot.
-            na = fp // _PHASOR_SUB
-            ang_a = (jax.lax.broadcasted_iota(jnp.float32, (na, 1), 0)
-                     * np.float32(_PHASOR_SUB * domega)) * tau_row[None, :]
-            ang_b = (jax.lax.broadcasted_iota(jnp.float32,
-                                              (_PHASOR_SUB, 1), 0)
-                     * np.float32(domega)) * tau_row[None, :]
-            ang_a = _reduce_angle(ang_a)
-            ang_b = _reduce_angle(ang_b)
-            ca, sa = jnp.cos(ang_a), jnp.sin(ang_a)        # [na, gp]
-            cb, sb = jnp.cos(ang_b), jnp.sin(ang_b)        # [16, gp]
-            er = (ca[:, None, :] * cb[None, :, :]
-                  - sa[:, None, :] * sb[None, :, :]).reshape(fp, gp)
-            ei = (sa[:, None, :] * cb[None, :, :]
-                  + ca[:, None, :] * sb[None, :, :]).reshape(fp, gp)
-        else:
-            ang = om_ref[0, :][:, None] * tau_row[None, :]  # [f_pad, g_pad]
-            ang = _reduce_angle(ang)
-            er = jnp.cos(ang)
-            ei = jnp.sin(ang)
-        if tier == "x3":
-            er_h, er_l, ei_h, ei_l = steer_refs
-            er_h[...], er_l[...] = _hi_lo(er)
-            ei_h[...], ei_l[...] = _hi_lo(ei)
-        else:
-            er_ref, ei_ref = steer_refs
-            er_ref[...] = er.astype(er_ref.dtype)
-            ei_ref[...] = ei.astype(ei_ref.dtype)
+        nslab = fp // _SYNTH_SPLIT if fp % _SYNTH_SPLIT == 0 else fp
+        for s0 in range(0, fp, nslab):
+            if domega is not None:
+                # Two-level phasor factorisation: omega_f = f*domega and
+                # f = a*16 + b: E[f] = A[a]*B[b], A = e^{j*16a*domega*tau},
+                # B = e^{j*b*domega*tau} — (fp/16 + 16) rows of cos/sin
+                # instead of fp rows (~11x fewer transcendentals), then
+                # one unit-phasor complex multiply per element (~1 ulp
+                # phase error).  The omega ramp continues past F into the
+                # pad rows, which multiply zeroed CPS — values moot.
+                na = nslab // _PHASOR_SUB
+                a0 = s0 // _PHASOR_SUB
+                ang_a = ((jax.lax.broadcasted_iota(jnp.float32, (na, 1), 0)
+                          + np.float32(a0))
+                         * np.float32(_PHASOR_SUB * domega)
+                         * tau_row[None, :])
+                ang_b = (jax.lax.broadcasted_iota(jnp.float32,
+                                                  (_PHASOR_SUB, 1), 0)
+                         * np.float32(domega)) * tau_row[None, :]
+                ang_a = _reduce_angle(ang_a)
+                ang_b = _reduce_angle(ang_b)
+                ca, sa = jnp.cos(ang_a), jnp.sin(ang_a)    # [na, gp]
+                cb, sb = jnp.cos(ang_b), jnp.sin(ang_b)    # [16, gp]
+                er = (ca[:, None, :] * cb[None, :, :]
+                      - sa[:, None, :] * sb[None, :, :]).reshape(nslab, gp)
+                ei = (sa[:, None, :] * cb[None, :, :]
+                      + ca[:, None, :] * sb[None, :, :]).reshape(nslab, gp)
+            else:
+                ang = (om_ref[0, pl.ds(s0, nslab)][:, None]
+                       * tau_row[None, :])                 # [nslab, g_pad]
+                ang = _reduce_angle(ang)
+                er = jnp.cos(ang)
+                ei = jnp.sin(ang)
+            sl = pl.ds(s0, nslab)
+            if tier == "x3":
+                er_h, er_l, ei_h, ei_l = steer_refs
+                er_h[sl, :], er_l[sl, :] = _hi_lo(er)
+                ei_h[sl, :], ei_l[sl, :] = _hi_lo(ei)
+            else:
+                er_ref, ei_ref = steer_refs
+                er_ref[sl, :] = er.astype(er_ref.dtype)
+                ei_ref[sl, :] = ei.astype(ei_ref.dtype)
 
     tb = ar_ref.shape[1]
 
