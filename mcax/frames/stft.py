@@ -67,9 +67,25 @@ def stft(x: jnp.ndarray, window: np.ndarray, hop: int) -> jnp.ndarray:
 
     The analysis window is folded into the DFT matrix on matmul-DFT
     backends (kernels.fft.rfft window parameter) — no separate multiply
-    pass over the frame tensor.
+    pass over the frame tensor.  At the ratio-2 overlap (frame = 2*hop,
+    every shipped config) the TPU default is the single-pass fused
+    framing+DFT Pallas kernel (kernels/stft_fused.py, MCAX_STFT knob):
+    the slab tensor is read once and spectra planes are emitted
+    directly, skipping both materialised frame halves.
     """
-    frames = frame_signal(x, int(window.shape[0]), hop)
+    import jax
+
+    from mcax.kernels import dispatch as _dispatch
+
+    n = int(window.shape[0])
+    t = num_frames(x.shape[-1], n, hop)
+    if (n == 2 * hop and t > 0 and x.shape[-1] % hop == 0
+            and _dispatch.stft_backend() == "fused"):
+        from mcax.kernels import stft_fused as _sf
+
+        re, im = _sf.stft_fused_planes(x, window, hop)
+        return jax.lax.complex(re, im)
+    frames = frame_signal(x, n, hop)
     return kfft.rfft(frames, window=window)
 
 

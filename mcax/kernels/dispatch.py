@@ -115,6 +115,34 @@ def fft_backend() -> str:
     return b
 
 
+def stft_backend() -> str:
+    """Forward-analysis backend: ``fused`` | ``xla`` | ``auto``.
+
+    ``fused`` — single-pass Pallas framing+windowing+DFT kernel
+                (kernels/stft_fused.py): slabs read once, spectra planes
+                emitted directly; only for the ratio-2 overlap
+                (frame = 2*hop — every shipped config).
+    ``xla``   — frame_signal slab-concat + matmul-DFT / jnp.fft (the
+                CPU/oracle path, and the fallback for other overlaps).
+
+    ``auto`` picks the measured winner: on TPU the unfused chain
+    materialises a slab layout copy + both shifted frame halves and the
+    DFT fusions re-read each half (~5.9 ms of the 18.9 ms batch-512
+    config-4 dispatch, r5 profile), so the fused kernel ships there;
+    elsewhere XLA."""
+    v = os.environ.get("MCAX_STFT", "auto").lower()
+    if v == "auto":
+        forced = get_backend()           # validates MCAX_BACKEND too
+        if os.environ.get("MCAX_BACKEND", "auto").lower() != "auto":
+            return "fused" if forced == "pallas" else "xla"
+        return "fused" if _auto_backend() == "pallas" else "xla"
+    if v == "pallas":                 # alias, consistent with MCAX_SRP
+        return "fused"
+    if v not in ("fused", "xla"):
+        raise ValueError(f"MCAX_STFT must be fused|xla|auto, got {v!r}")
+    return v
+
+
 def cov_backend() -> str:
     """Covariance block-prefix backend: ``fused`` | ``xla`` | ``auto``.
 

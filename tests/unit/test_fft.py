@@ -95,3 +95,55 @@ def test_pallas_irfft_interpret(n, monkeypatch):
     y = complex_to_device(np.fft.rfft(x, axis=-1).astype(np.complex64))
     got = np.asarray(kfft.irfft(y, n))
     np.testing.assert_allclose(got, x, atol=3e-3)
+
+
+@pytest.mark.parametrize("c,nblk,hop,tb_env", [
+    (3, 10, 256, None),       # config1-3 frame size, small T
+    (2, 49, 512, "16"),       # config4/5 frame size; T=48 = 3 tiles of 16
+    (1, 26, 256, "8"),        # T=25: last tile partial + clamped boundary
+])
+def test_stft_fused_matches_xla(monkeypatch, c, nblk, hop, tb_env):
+    """The fused framing+DFT kernel reproduces the frame_signal + matmul
+    chain bit-for-tolerance at the same precision tier, including partial
+    last tiles and the clamped boundary block (r5)."""
+    from mcax.frames import stft as stft_mod
+    from mcax.frames import window as win_mod
+    from mcax.kernels import stft_fused
+
+    if not _ON_TPU:
+        monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
+    if tb_env is not None:
+        monkeypatch.setattr(stft_fused, "_pick_tb",
+                            lambda hop_, fp_, t_: int(tb_env))
+    n = 2 * hop
+    win = win_mod.hann(n)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((c, nblk * hop)).astype(np.float32)
+
+    def run(backend):
+        monkeypatch.setenv("MCAX_STFT", backend)
+        if backend == "xla":
+            monkeypatch.setenv("MCAX_BACKEND", "xla")
+        else:
+            monkeypatch.setenv("MCAX_BACKEND", "pallas")
+
+        @jax.jit
+        def go(xx):
+            sp = stft_mod.stft(xx, win, hop)
+            return jnp_real_imag(sp)
+        return [np.asarray(v) for v in go(x)]
+
+    import jax.numpy as jnp
+
+    def jnp_real_imag(sp):
+        return jnp.real(sp), jnp.imag(sp)
+
+    got_re, got_im = run("fused")
+    want_re, want_im = run("xla")
+    assert got_re.shape == want_re.shape == (c, nblk - 1, hop + 1)
+    scale = max(np.abs(want_re).max(), np.abs(want_im).max()) + 1e-12
+    # same tier both sides off-TPU (fp32); on TPU fused=x3 vs xla=HIGH —
+    # both bf16x3-class, but summation structure differs
+    atol = 2e-4 if _ON_TPU else 2e-6
+    np.testing.assert_allclose(got_re / scale, want_re / scale, atol=atol)
+    np.testing.assert_allclose(got_im / scale, want_im / scale, atol=atol)
