@@ -44,43 +44,50 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(c: int, t: int, lam: float, f_true: int, xr_ref, xi_ref,
-            cov0_ref, out_ref, acc_ref):
+def _kernel(c: int, t: int, nb: int, lam: float, f_true: int, xr_ref,
+            xi_ref, cov0_ref, out_ref, acc_ref):
     ft = pl.program_id(0)
-    b = pl.program_id(1)
+    bb = pl.program_id(1)
 
-    @pl.when(b == 0)
+    @pl.when(bb == 0)
     def _seed():
         acc_ref[...] = cov0_ref[...]
 
-    xr = xr_ref[:, 0]                                     # [C, T, ft]
-    xi = xi_ref[:, 0]
-    # spectra are consumed UNPADDED (r5): bins >= f_true are the edge
-    # block's masked-load region (unspecified values).  A select pins
-    # them to zero so the output's pad bins stay EXACTLY zero — the
-    # rows-path MVDR solve relies on zero covariance + pivot floors for
-    # pad-bin finiteness (mvdrsolve.weights_blocks_fused_rows).
-    fmask = (jax.lax.broadcasted_iota(jnp.int32, xr.shape, 2)
-             + ft * np.int32(_LANE)) < np.int32(f_true)
-    xr = jnp.where(fmask, xr, 0.0)
-    xi = jnp.where(fmask, xi, 0.0)
-    # w_t = (1-lam) * lam^{T-1-t}, synthesised on-chip (lam > 0)
-    k = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0).astype(jnp.float32)
-    w = (np.float32(1.0 - lam)
-         * jnp.exp(np.float32(np.log(lam)) * (np.float32(t - 1) - k)))
-    xwr = xr * w                                          # [C, T, ft]
-    xwi = xi * w
-    rows = []
-    for ci in range(c):                                   # R[c,d] rows, c-major
-        rows.append(jnp.sum(xwr[ci][None] * xr + xwi[ci][None] * xi,
-                            axis=1))                      # [C, ft] re
-    for ci in range(c):
-        rows.append(jnp.sum(xwi[ci][None] * xr - xwr[ci][None] * xi,
-                            axis=1))                      # [C, ft] im
-    partial = jnp.concatenate(rows, axis=0)               # [2C^2, ft]
-    new = np.float32(lam ** t) * acc_ref[...] + partial
-    acc_ref[...] = new
-    out_ref[0] = new
+    # nb blocks per grid step (r5): the per-block [C, 1, T, 128] fetches
+    # were ~100 KB DMAs over a 2560-step grid — batching nb of them per
+    # step quarters the DMA count at the same traffic; the prefix
+    # recursion just unrolls nb times against the same VMEM accumulator.
+    acc = acc_ref[...]
+    for j in range(nb):
+        xr = xr_ref[:, j]                                 # [C, T, ft]
+        xi = xi_ref[:, j]
+        # spectra are consumed UNPADDED (r5): bins >= f_true are the
+        # edge block's masked-load region (unspecified values).  A
+        # select pins them to zero so the output's pad bins stay EXACTLY
+        # zero — the rows-path MVDR solve relies on zero covariance +
+        # pivot floors for pad-bin finiteness.
+        fmask = (jax.lax.broadcasted_iota(jnp.int32, xr.shape, 2)
+                 + ft * np.int32(_LANE)) < np.int32(f_true)
+        xr = jnp.where(fmask, xr, 0.0)
+        xi = jnp.where(fmask, xi, 0.0)
+        # w_t = (1-lam) * lam^{T-1-t}, synthesised on-chip (lam > 0)
+        k = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0).astype(
+            jnp.float32)
+        w = (np.float32(1.0 - lam)
+             * jnp.exp(np.float32(np.log(lam)) * (np.float32(t - 1) - k)))
+        xwr = xr * w                                      # [C, T, ft]
+        xwi = xi * w
+        rows = []
+        for ci in range(c):                               # R[c,d] rows
+            rows.append(jnp.sum(xwr[ci][None] * xr + xwi[ci][None] * xi,
+                                axis=1))                  # [C, ft] re
+        for ci in range(c):
+            rows.append(jnp.sum(xwi[ci][None] * xr - xwr[ci][None] * xi,
+                                axis=1))                  # [C, ft] im
+        partial = jnp.concatenate(rows, axis=0)           # [2C^2, ft]
+        acc = np.float32(lam ** t) * acc + partial
+        out_ref[j] = acc
+    acc_ref[...] = acc
 
 
 def rows_to_complex(out: jnp.ndarray, f: int) -> jnp.ndarray:
@@ -124,19 +131,20 @@ def block_prefixes_rows(spectra: jnp.ndarray, cov0, forget: float,
         cov0_rows = jnp.pad(jnp.concatenate([cr, ci], axis=0),
                             ((0, 0), (0, f_pad - f)))
 
-    grid = (f_pad // _LANE, b)
+    nb = next(k for k in (8, 4, 2, 1) if b % k == 0)
+    grid = (f_pad // _LANE, b // nb)
     out = pl.pallas_call(
-        functools.partial(_kernel, c, t, float(forget), f),
+        functools.partial(_kernel, c, t, nb, float(forget), f),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((c, 1, t, _LANE), lambda ft, bb: (0, bb, 0, ft),
+            pl.BlockSpec((c, nb, t, _LANE), lambda ft, bb: (0, bb, 0, ft),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 1, t, _LANE), lambda ft, bb: (0, bb, 0, ft),
+            pl.BlockSpec((c, nb, t, _LANE), lambda ft, bb: (0, bb, 0, ft),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, _LANE), lambda ft, bb: (0, ft),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows, _LANE), lambda ft, bb: (bb, 0, ft),
+        out_specs=pl.BlockSpec((nb, rows, _LANE), lambda ft, bb: (bb, 0, ft),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, rows, f_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((rows, _LANE), jnp.float32)],
