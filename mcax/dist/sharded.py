@@ -292,17 +292,26 @@ class ShardedPipeline:
         t = cfg.frames_per_block
         bt = bl * t
 
+        algo = cfg.algo.name
         flat = jnp.moveaxis(samples_local, 1, 0).reshape(cl, bl * block_len)
         carry_local = lax.dynamic_slice(state.carry, (ci * cl, 0), (cl, lh))
         # bt*hop == bl*block_len, so the next carry is just this shard's
-        # tail — independent of the halo exchange, like the interior STFT
-        new_carry = self._replicate_carry(flat[:, -lh:])
+        # tail — independent of the halo exchange, like the interior STFT.
+        # MVDR-family algos replicate it through their MERGED time+channel
+        # gathers instead of a dedicated psum+all_gather pair (r5: on the
+        # virtual mesh every collective is an n-way rendezvous on shared
+        # silicon, so collective COUNT is what the scaling proxy pays).
+        carry_tail_local = flat[:, -lh:]
+        mvdr_family = algo in ("mvdr", "srp_mvdr", "track_mvdr")
+        if mvdr_family:
+            new_carry = None              # set by the merged gathers below
+        else:
+            new_carry = self._replicate_carry(carry_tail_local)
         spectra_local = halo_mod.stft_left_halo(
             flat, lh, carry_local, self.win_a, hop)              # [cl, BlT, F]
         spectra = self._gather_channels(spectra_local)           # [C, BlT, F]
         f = spectra.shape[-1]
 
-        algo = cfg.algo.name
         out: Dict[str, jnp.ndarray] = {}
         new_tail, new_tracks = state.ola_tail, state.tracks
         new_particles = state.particles
@@ -348,27 +357,46 @@ class ShardedPipeline:
             over the 'channel' (pair) shards: [Bl*T, G]."""
             return self._srp_power(spectra, extra)
 
-        def block_covs(spec, cov0_):
-            """Per-block prefix covariances across ALL shards' blocks: the
-            local inclusive monoid prefix composed with the exclusive
-            prefix of whole left shards (all-gather of shard aggregates).
-            ``spec``/``cov0_`` may be F-sliced (fshard mode)."""
+        # --- MVDR-family collective structure (r5) -----------------------
+        # The chain's cross-shard pieces are merged into exactly TWO
+        # collectives: one 'time' gather carrying {next-carry tail,
+        # covariance monoid shard-aggregate (+decay), per-block SRP means
+        # for tracking} and one 'channel' gather carrying {beamformed
+        # F-slice, F-sliced final covariance, carry}.  r4 spent SEVEN
+        # rendezvous on the same data (collect_last psum + carry
+        # all_gather + dag + pag gathers + final-cov psum + y and ncov
+        # fgathers); on the shared-silicon virtual mesh each rendezvous
+        # stalls all n device threads, and collective COUNT — not payload
+        # — dominated config5's scaling-proxy miss (76-79% vs the >=80%
+        # bar).  Values are packed as f32 planes, bit-identically.
+        def cov_local(spec):
+            """Local monoid pieces + the f32-packed shard aggregate."""
             t_ = cfg.frames_per_block
-            # local prefixes with zero seed = the monoid's P side; the
-            # decay side is closed-form (every block decays by lam^T)
             ploc = cov_mod.block_prefixes(spec, None,
                                           cfg.algo.cov_forget, t_)
             dloc = jnp.float32(cfg.algo.cov_forget) ** (
                 t_ * (jnp.arange(bl, dtype=jnp.float32) + 1.0))
+            pack = jnp.concatenate(
+                [jnp.real(ploc[-1]).reshape(-1),
+                 jnp.imag(ploc[-1]).reshape(-1), dloc[-1:]])
+            return ploc, dloc, pack
+
+        def cov_complete(ploc, dloc, ag, cov0_):
+            """Finish the exclusive-prefix composition from the gathered
+            [st, 2*F*C*C+1] aggregate rows; returns (covs, final cov)."""
+            fdim, cdim = ploc.shape[-3], ploc.shape[-1]
+            npk = fdim * cdim * cdim
+            pag = jax.lax.complex(
+                ag[:, :npk], ag[:, npk:2 * npk]).reshape(
+                    -1, fdim, cdim, cdim).astype(ploc.dtype)
+            dag = ag[:, -1]                                  # [st]
 
             def combine(lhs, rhs):
                 d1, p1 = lhs
                 d2, p2 = rhs
-                return d1 * d2, d2[..., None, None, None].astype(p1.dtype) * p1 + p2
+                return (d1 * d2,
+                        d2[..., None, None, None].astype(p1.dtype) * p1 + p2)
 
-            # shard aggregate = last local prefix; gather over 'time'
-            dag = coll.gather(dloc[-1], TIME_AXIS, tiled=False)  # [st]
-            pag = coll.gather(ploc[-1], TIME_AXIS, tiled=False)  # [st,F,C,C]
             dpre, ppre = jax.lax.associative_scan(combine, (dag, pag))
             # exclusive prefix for this shard: identity for shard 0
             d_exc = jnp.where(ti == 0, jnp.float32(1.0),
@@ -380,31 +408,106 @@ class ShardedPipeline:
                      + ploc)
             covs = (d_tot[:, None, None, None].astype(cov0_.dtype) * cov0_
                     + p_tot)
-            # global final covariance = last shard's last block
-            last = jnp.where(ti == self.st - 1, covs[-1],
-                             jnp.zeros_like(covs[-1]))
-            return covs, lax.psum(last, TIME_AXIS)
+            # global final covariance = the INCLUSIVE prefix over all
+            # shards, already in hand on every shard from the gathered
+            # aggregates — the former psum of the last shard's last block
+            # recomputed the same value with one more rendezvous
+            ncov_ = (dpre[-1].astype(cov0_.dtype) * cov0_ + ppre[-1])
+            return covs, ncov_
 
-        def mvdr_beamform(steer_full):
-            """covs → weights → beamform, returning (y [Bl,(S,),T,F],
-            new_cov [F,C,C]).  With channel shards the chain runs
-            frequency-sharded (see fshard above); without, the original
-            replicated full-F form."""
+        def time_merge(parts):
+            """ONE tiled=False gather over 'time' of concatenated f32
+            flats; returns the per-part [st, size] rows.  GUARD MODE runs
+            one gather per part instead: packing mixes each part's
+            variance set into the union (e.g. the channel-varying carry
+            tail would taint the tracking surfaces), and vma inference
+            types the whole packed buffer at once — the bytes are
+            identical either way (test_guards pins it)."""
+            if coll.guard_enabled():
+                return [coll.gather(p.reshape(-1), TIME_AXIS, tiled=False)
+                        for p in parts]
+            sizes = [int(np.prod(p.shape)) for p in parts]
+            g = coll.gather(
+                jnp.concatenate([p.reshape(-1) for p in parts]),
+                TIME_AXIS, tiled=False)                      # [st, sum]
+            outs, off = [], 0
+            for s_ in sizes:
+                outs.append(g[:, off:off + s_])
+                off += s_
+            return outs
+
+        def channel_merge(y_c, ncov_c, carry_last):
+            """ONE gather over 'channel' for the beamformed F-slice, the
+            F-sliced final covariance and the carry; reassembles full-F
+            complex tensors.  sc == 1 (no channel shards): everything is
+            already full — no collective at all.  GUARD MODE gathers the
+            three separately: y is legitimately time-VARYING (each time
+            shard's own blocks) and packing it with the replicated state
+            leaves would make vma infer carry/cov time-varying too."""
             if not fshard:
-                covs, ncov = block_covs(spectra, cov0)
-                w = mvdr.weights_blocks(covs, steer_full, cfg.algo.diag_load)
-                return jax.vmap(mvdr.beamform)(spectra_blocks(), w), ncov
-            covs_f, ncov_f = block_covs(fslice(spectra),
-                                        fslice(cov0, axis=0))
-            # pad bins (global index >= F) carry zero covariance; pin them
-            # to the identity so the Cholesky stays finite (their steering
-            # is zero, so the solve output is discarded anyway)
-            covs_f = covs_f + (pad_mask[None, :, None, None]
-                               * jnp.eye(c, dtype=covs_f.dtype))
-            w = mvdr.weights_blocks(covs_f, fslice(steer_full),
-                                    cfg.algo.diag_load)
-            y_f = jax.vmap(mvdr.beamform)(fslice(spectra_blocks()), w)
-            return fgather(y_f), fgather(ncov_f, axis=0)
+                return y_c, ncov_c, carry_last
+            if coll.guard_enabled():
+                carry_full = coll.gather(carry_last, CHANNEL_AXIS,
+                                         axis=0, tiled=True)
+                return fgather(y_c), fgather(ncov_c, axis=0), carry_full
+            parts = [jnp.real(y_c), jnp.imag(y_c),
+                     jnp.real(ncov_c), jnp.imag(ncov_c), carry_last]
+            sizes = [int(np.prod(p.shape)) for p in parts]
+            g = coll.gather(
+                jnp.concatenate([p.reshape(-1) for p in parts]),
+                CHANNEL_AXIS, tiled=False)                   # [sc, sum]
+            off = []
+            o = 0
+            for s_ in sizes:
+                off.append((o, o + s_))
+                o += s_
+            yr = g[:, off[0][0]:off[0][1]].reshape(self.sc, *y_c.shape)
+            yi = g[:, off[1][0]:off[1][1]].reshape(self.sc, *y_c.shape)
+            y_full = jax.lax.complex(yr, yi)                 # [sc, ..., fsl]
+            y_full = jnp.moveaxis(y_full, 0, -2).reshape(
+                *y_c.shape[:-1], self.sc * y_c.shape[-1])[..., :f]
+            nr = g[:, off[2][0]:off[2][1]].reshape(self.sc, *ncov_c.shape)
+            ni = g[:, off[3][0]:off[3][1]].reshape(self.sc, *ncov_c.shape)
+            ncov_full = jax.lax.complex(nr, ni).reshape(
+                self.sc * ncov_c.shape[0], cdim_c, cdim_c)[:f]
+            carry_full = g[:, off[4][0]:off[4][1]].reshape(self.sc * cl, lh)
+            return y_full, ncov_full, carry_full
+
+        cdim_c = c
+
+        def mvdr_chain(pmean=None):
+            """Covariance side of the chain with the merged time gather.
+            Returns (covs_c, ncov_c, carry_last, pmean_all-or-None).  With
+            channel shards the compute runs frequency-sharded (fshard);
+            without, the original replicated full-F form — the merged
+            time gather still carries the tail + aggregates."""
+            spec_c = fslice(spectra) if fshard else spectra
+            cov0_c = fslice(cov0, axis=0) if fshard else cov0
+            ploc, dloc, pack = cov_local(spec_c)
+            parts = [carry_tail_local, pack]
+            if pmean is not None:
+                parts.append(pmean)
+            rows = time_merge(parts)
+            carry_last = rows[0][-1].reshape(cl, lh)
+            ag = rows[1]
+            pmean_all = (rows[2].reshape(self.st * bl, -1)
+                         if pmean is not None else None)
+            covs_c, ncov_c = cov_complete(ploc, dloc, ag, cov0_c)
+            if fshard:
+                # pad bins (global index >= F) carry zero covariance; pin
+                # them to the identity so the Cholesky stays finite (their
+                # steering is zero, so the solve output is discarded)
+                covs_c = covs_c + (pad_mask[None, :, None, None]
+                                   * jnp.eye(c, dtype=covs_c.dtype))
+            return covs_c, ncov_c, carry_last, pmean_all
+
+        def mvdr_finish(covs_c, ncov_c, carry_last, steer_full):
+            w = mvdr.weights_blocks(
+                covs_c, fslice(steer_full) if fshard else steer_full,
+                cfg.algo.diag_load)
+            y_c = jax.vmap(mvdr.beamform)(
+                fslice(spectra_blocks()) if fshard else spectra_blocks(), w)
+            return channel_merge(y_c, ncov_c, carry_last)
 
         def resynth_stream(y):
             """y [..., Bl*T, F] → (out [Bl, ..., T*hop], tail): local OLA,
@@ -466,7 +569,9 @@ class ShardedPipeline:
         elif algo == "mvdr":
             steer_v = jnp.broadcast_to(jnp.asarray(self.fixed_steer),
                                        (bl, *self.fixed_steer.shape))
-            y, new_cov = mvdr_beamform(steer_v)
+            covs_c, ncov_c, carry_last, _ = mvdr_chain()
+            y, new_cov, new_carry = mvdr_finish(covs_c, ncov_c, carry_last,
+                                                steer_v)
             out["audio"], new_tail = resynth_stream(y.reshape(bt, f))
 
         elif algo == "srp_mvdr":
@@ -474,7 +579,9 @@ class ShardedPipeline:
             pmean = jnp.mean(power.reshape(bl, t, -1), axis=1)
             gidx = jnp.argmax(pmean, axis=-1)
             steer_v = srp.steering_vector(self.srp_plan, gidx)
-            y, new_cov = mvdr_beamform(steer_v)
+            covs_c, ncov_c, carry_last, _ = mvdr_chain()
+            y, new_cov, new_carry = mvdr_finish(covs_c, ncov_c, carry_last,
+                                                steer_v)
             out["audio"], new_tail = resynth_stream(y.reshape(bt, f))
             out["doa"] = jnp.asarray(self.srp_plan.azimuths_rad,
                                      jnp.float32)[gidx]
@@ -486,11 +593,12 @@ class ShardedPipeline:
             power = pair_power()
             pmean = jnp.mean(power.reshape(bl, t, -1), axis=1)   # [Bl, G]
             # tracking is a tiny strictly-sequential recursion across ALL
-            # blocks: gather every shard's per-block surfaces ([B, G] —
-            # a few hundred KB) and run it replicated; each shard then
-            # steers only its own blocks
-            pmean_all = coll.gather(pmean, TIME_AXIS,
-                                    axis=0, tiled=True)         # [B, G]
+            # blocks: its [Bl, G] per-block surfaces ride the merged time
+            # gather (with the carry tail + covariance aggregates) and the
+            # scan runs replicated; each shard then steers only its own
+            # blocks
+            covs_c, ncov_c, carry_last, pmean_all = mvdr_chain(
+                pmean=pmean)                                    # [B, G]
             az_grid = jnp.asarray(self.srp_plan.azimuths_rad, jnp.float32)
 
             if cfg.algo.smoother == "particle":
@@ -514,7 +622,8 @@ class ShardedPipeline:
                     track_step, state.tracks, pmean_all)        # [B, S]
             gidx = lax.dynamic_slice_in_dim(gidx_all, ti * bl, bl, axis=0)
             steer_v = srp.steering_vector(self.srp_plan, gidx)  # [Bl,S,C,F]
-            y, new_cov = mvdr_beamform(steer_v)                 # [Bl,S,T,F]
+            y, new_cov, new_carry = mvdr_finish(covs_c, ncov_c, carry_last,
+                                                steer_v)        # [Bl,S,T,F]
             y_s = jnp.moveaxis(y, 1, 0).reshape(y.shape[1], bt, f)
             out["audio"], new_tail = resynth_stream(y_s)
             out["doa"] = angles

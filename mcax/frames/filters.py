@@ -46,8 +46,13 @@ def fir_apply(x: jnp.ndarray, taps: np.ndarray,
     w = jnp.asarray(taps[::-1].copy(), x.dtype)            # correlate = flip
     lead = ext.shape[:-1]
     flat = ext.reshape(-1, 1, ext.shape[-1])
+    # explicit HIGHEST precision: the TPU default is a single bf16 pass
+    # (~5e-3 absolute error at unit-scale signals — caught by the r5
+    # on-chip lane extension); audio filtering is a precision tier, not a
+    # throughput one, and FIR is on no acceptance config's hot path
     y = jax.lax.conv_general_dilated(
-        flat, w.reshape(1, 1, k), window_strides=(1,), padding="VALID")
+        flat, w.reshape(1, 1, k), window_strides=(1,), padding="VALID",
+        precision=jax.lax.Precision.HIGHEST)
     y = y.reshape(*lead, -1)
     return y, ext[..., ext.shape[-1] - (k - 1):]
 

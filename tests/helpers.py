@@ -104,3 +104,54 @@ def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     if den == 0:
         return np.inf
     return float(10.0 * np.log10(num / max(den, 1e-300)))
+
+
+def run_planes(fn, *args):
+    """Run ``fn(*args)`` inside ONE jit with float-plane boundaries.
+
+    The axon TPU backend implements neither complex host<->device
+    transfers nor several eager complex ops, so on-chip tests must build
+    complex values INSIDE a compiled program and fetch them as re/im
+    planes — the production boundary pattern (covariance.to_planes).
+    Complex numpy args are split host-side and rebuilt in-graph; complex
+    output leaves come back as {"re", "im"} dicts in-graph and are
+    reassembled to complex numpy here.  Output pytrees map to numpy.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    flat_in, spec = [], []
+    for a in args:
+        a = np.asarray(a)
+        if np.iscomplexobj(a):
+            spec.append("c")
+            flat_in += [np.ascontiguousarray(a.real).astype(np.float32),
+                        np.ascontiguousarray(a.imag).astype(np.float32)]
+        else:
+            spec.append("r")
+            flat_in.append(a)
+
+    @jax.jit
+    def go(*flats):
+        it = iter(flats)
+        rebuilt = []
+        for s in spec:
+            if s == "c":
+                rebuilt.append(jax.lax.complex(next(it), next(it)))
+            else:
+                rebuilt.append(next(it))
+        out = fn(*rebuilt)
+        return jax.tree.map(
+            lambda x: ({"re": jnp.real(x), "im": jnp.imag(x)}
+                       if jnp.iscomplexobj(x) else x), out)
+
+    def back(leaf):
+        if isinstance(leaf, dict) and set(leaf) == {"re", "im"}:
+            return (np.asarray(leaf["re"]).astype(np.complex64)
+                    + 1j * np.asarray(leaf["im"]))
+        return np.asarray(leaf)
+
+    out = go(*flat_in)
+    return jax.tree.map(back, out,
+                        is_leaf=lambda x: (isinstance(x, dict)
+                                           and set(x) == {"re", "im"}))

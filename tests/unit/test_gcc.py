@@ -21,8 +21,8 @@ def test_cps_phat_matches_oracle():
     g = _stereo_geom()
     x = helpers.array_signals(g, np.deg2rad(30.0), 4096, seed=5)
     w = win_mod.hann(512)
-    spec = np.asarray(stft_mod.stft(x, w, 256))
-    got = np.asarray(kcps.cps_phat(spec, g.pairs))
+    spec = helpers.run_planes(lambda xx: stft_mod.stft(xx, w, 256), x)
+    got = helpers.run_planes(lambda sp: kcps.cps_phat(sp, g.pairs), spec)
     want = oracle_np.cps_phat(spec, g.pairs)
     np.testing.assert_allclose(got, want, atol=1e-5)
 
@@ -33,9 +33,10 @@ def test_tdoa_recovers_injected_delay(az_deg):
     az = np.deg2rad(az_deg)
     x = helpers.array_signals(g, az, 8192, seed=7)
     w = win_mod.hann(512)
-    spec = stft_mod.stft(x, w, 256)
     plan = gcc.make_plan(g, 512)
-    res = gcc.gcc_phat_block(spec, g.pairs, plan)
+    res = helpers.run_planes(
+        lambda xx: gcc.gcc_phat_block(stft_mod.stft(xx, w, 256), g.pairs,
+                                      plan), x)
     tdoa = np.asarray(res["tdoa"])[0]                      # [T]
     expected = g.pair_tdoas(np.asarray([az]))[0, 0]
     # median over frames, within a quarter sample
@@ -49,9 +50,10 @@ def test_tdoa_matches_bruteforce_oracle():
     g = _stereo_geom()
     x = helpers.array_signals(g, np.deg2rad(25.0), 4096, seed=9)
     w = win_mod.hann(512)
-    spec = np.asarray(stft_mod.stft(x, w, 256))
+    spec = helpers.run_planes(lambda xx: stft_mod.stft(xx, w, 256), x)
     plan = gcc.make_plan(g, 512)
-    res = gcc.gcc_phat_block(spec, g.pairs, plan)
+    res = helpers.run_planes(
+        lambda sp: gcc.gcc_phat_block(sp, g.pairs, plan), spec)
     got = np.asarray(res["tdoa"])
     want = oracle_np.gcc_phat_tdoa(spec, g.pairs, 512,
                                    g.max_lag_samples(), g.sample_rate)
@@ -86,9 +88,10 @@ def test_config1_streaming_matches_oneshot():
     lh = cfg.stft.frame_len - cfg.stft.hop
     xp = np.concatenate([np.zeros((2, lh), np.float32), x], axis=-1)
     w = win_mod.hann(cfg.stft.frame_len)
-    spec = stft_mod.stft(xp, w, cfg.stft.hop)
     plan = gcc.make_plan(g, cfg.stft.frame_len)
-    res = gcc.gcc_phat_block(spec, g.pairs, plan)
+    res = helpers.run_planes(
+        lambda xx: gcc.gcc_phat_block(
+            stft_mod.stft(xx, w, cfg.stft.hop), g.pairs, plan), xp)
     oneshot = np.asarray(res["tdoa"]).reshape(-1)
     np.testing.assert_allclose(streamed, oneshot[:len(streamed)], atol=1e-7)
 
@@ -100,11 +103,12 @@ def test_multiband_per_band_and_fused():
     az = np.deg2rad(40.0)
     x = helpers.array_signals(g, az, 8192, seed=11)
     w = win_mod.hann(512)
-    spec = stft_mod.stft(x, w, 256)
     plan = gcc.make_plan(g, 512)
     masks = gcc.multiband_masks(512, g.sample_rate, num_bands=6, scale="mel")
     assert masks.shape == (6, 257)
-    res = gcc.gcc_phat_multiband(spec, g.pairs, plan, masks)
+    res = helpers.run_planes(
+        lambda xx: gcc.gcc_phat_multiband(
+            stft_mod.stft(xx, w, 256), g.pairs, plan, masks), x)
     expected = g.pair_tdoas(np.asarray([az]))[0, 0]
     tau_b = np.asarray(res["tdoa"])                         # [B, P, T]
     peak_b = np.asarray(res["peak"])
@@ -127,11 +131,12 @@ def test_multiband_empty_band_gets_no_weight():
     # band-limit the source to 0.4 Nyquist = 3.2 kHz
     x = helpers.array_signals(g, az, 8192, seed=13, bandlimit=0.4)
     w = win_mod.hann(512)
-    spec = stft_mod.stft(x, w, 256)
     plan = gcc.make_plan(g, 512)
     masks = gcc.multiband_masks(512, g.sample_rate, num_bands=4,
                                 scale="linear", fmin=0.0)
-    res = gcc.gcc_phat_multiband(spec, g.pairs, plan, masks)
+    res = helpers.run_planes(
+        lambda xx: gcc.gcc_phat_multiband(
+            stft_mod.stft(xx, w, 256), g.pairs, plan, masks), x)
     peak_b = np.asarray(res["peak"])                        # [B, P, T]
     # top linear band (6-8 kHz) is empty: its mean confidence must be far
     # below the occupied bottom band's

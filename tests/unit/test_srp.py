@@ -1,4 +1,9 @@
-"""SRP-PHAT vs the brute-force triple-loop oracle + DOA recovery sweep."""
+"""SRP-PHAT vs the brute-force triple-loop oracle + DOA recovery sweep.
+
+Computation runs through helpers.run_planes (one jit, float-plane
+boundaries) so the suite is part of the on-chip lane (tools/tpu_suite.py)
+as well as CPU CI.
+"""
 
 import numpy as np
 import pytest
@@ -20,9 +25,10 @@ def test_srp_surface_matches_oracle():
     g = _geom()
     x = helpers.array_signals(g, np.deg2rad(70.0), 2048, seed=11)
     w = win_mod.hann(512)
-    spec = np.asarray(stft_mod.stft(x, w, 256))
     plan = srp.make_plan(g, 512, grid_points=72)
-    got = np.asarray(srp.srp_surface(spec, g.pairs, plan))
+    spec = helpers.run_planes(lambda xx: stft_mod.stft(xx, w, 256), x)
+    got = helpers.run_planes(
+        lambda sp: srp.srp_surface(sp, g.pairs, plan), spec)
     want = oracle_np.srp_surface(spec, g, plan.azimuths_rad, 512)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
 
@@ -32,11 +38,16 @@ def test_srp_recovers_injected_doa(az_deg):
     g = _geom()
     x = helpers.array_signals(g, np.deg2rad(az_deg), 8192, seed=12)
     w = win_mod.hann(512)
-    spec = stft_mod.stft(x, w, 256)
     plan = srp.make_plan(g, 512, grid_points=360)
-    power = srp.srp_surface(spec, g.pairs, plan)
-    az, _ = srp.argmax_doa(power, plan)
-    est = np.rad2deg(np.median(np.asarray(az)))
+
+    def chain(xx):
+        spec = stft_mod.stft(xx, w, 256)
+        power = srp.srp_surface(spec, g.pairs, plan)
+        az, _ = srp.argmax_doa(power, plan)
+        return az
+
+    az = helpers.run_planes(chain, x)
+    est = np.rad2deg(np.median(az))
     err = abs((est - az_deg + 180.0) % 360.0 - 180.0)
     assert err <= 1.5, (est, az_deg)
 
@@ -44,7 +55,8 @@ def test_srp_recovers_injected_doa(az_deg):
 def test_steering_vector_gather_matches_plan():
     g = _geom()
     plan = srp.make_plan(g, 512, grid_points=36)
-    v = np.asarray(srp.steering_vector(plan, np.asarray([3, 17])))
+    v = helpers.run_planes(
+        lambda: srp.steering_vector(plan, np.asarray([3, 17])))
     assert v.shape == (2, 8, 257)
     want = plan.steer_re[3] + 1j * plan.steer_im[3]
     np.testing.assert_allclose(v[0], want, atol=1e-6)
