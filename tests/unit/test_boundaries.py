@@ -33,25 +33,30 @@ def test_state_and_outputs_real(name):
     pipe = Pipeline(cfg, jit=False)
     state = pipe.init_state()
     _assert_real_tree(state, f"{name} init_state")
-    samples = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (pipe.geom.num_mics, cfg.block_len)), jnp.float32)
-    state, out = pipe._block_step(state, samples)
+    samples = np.random.default_rng(0).standard_normal(
+        (pipe.geom.num_mics, cfg.block_len)).astype(np.float32)
+    # eval_shape: the dtype invariant is a TRACE property — checking it
+    # abstractly needs no device execution, so the test also runs on
+    # backends whose eager complex ops are unimplemented (axon)
+    state, out = jax.eval_shape(pipe._block_step, state,
+                                jax.ShapeDtypeStruct(samples.shape,
+                                                     jnp.float32))
     _assert_real_tree(state, f"{name} state")
     _assert_real_tree(out, f"{name} out")
 
 
 def test_cov_planes_round_trip():
     from mcax.algos import covariance as cov
+    from tests import helpers
     rng = np.random.default_rng(3)
-    z = jnp.asarray((rng.standard_normal((5, 4, 4)) +
-                     1j * rng.standard_normal((5, 4, 4))).astype(np.complex64))
-    back = cov.from_planes(cov.to_planes(z))
-    np.testing.assert_array_equal(np.asarray(jnp.real(back)),
-                                  np.asarray(jnp.real(z)))
-    np.testing.assert_array_equal(np.asarray(jnp.imag(back)),
-                                  np.asarray(jnp.imag(z)))
+    z = (rng.standard_normal((5, 4, 4)) +
+         1j * rng.standard_normal((5, 4, 4))).astype(np.complex64)
+    back = helpers.run_planes(
+        lambda zz: cov.from_planes(cov.to_planes(zz)), z)
+    np.testing.assert_array_equal(back.real, z.real)
+    np.testing.assert_array_equal(back.imag, z.imag)
     p = cov.init_planes(5, 4, scale=2.0)
     assert p.dtype == jnp.float32 and p.shape == (5, 4, 4, 2)
+    eye = helpers.run_planes(lambda pp: cov.from_planes(pp), np.asarray(p))
     np.testing.assert_array_equal(
-        np.asarray(cov.from_planes(p)),
-        np.broadcast_to(np.eye(4, dtype=np.complex64) * 2.0, (5, 4, 4)))
+        eye, np.broadcast_to(np.eye(4, dtype=np.complex64) * 2.0, (5, 4, 4)))

@@ -24,7 +24,8 @@ def test_cola_hann_unit_synthesis(frame_len, hop):
 def test_framing_matches_oracle():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((3, 4096)).astype(np.float32)
-    got = np.asarray(stft_mod.frame_signal(x, 512, 256))
+    got = helpers.run_planes(lambda xx: stft_mod.frame_signal(xx, 512, 256),
+                             x)
     want = oracle_np.frame_signal(x, 512, 256)
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
 
@@ -33,7 +34,7 @@ def test_stft_matches_oracle():
     rng = np.random.default_rng(1)
     x = rng.standard_normal((2, 2048)).astype(np.float32)
     w = win_mod.hann(512)
-    got = np.asarray(stft_mod.stft(x, w, 256))
+    got = helpers.run_planes(lambda xx: stft_mod.stft(xx, w, 256), x)
     want = oracle_np.stft(x.astype(np.float64), w, 256)
     np.testing.assert_allclose(got, want, atol=1e-3)
 
@@ -41,7 +42,8 @@ def test_stft_matches_oracle():
 def test_ola_matches_oracle():
     rng = np.random.default_rng(2)
     frames = rng.standard_normal((7, 512)).astype(np.float32)
-    got = np.asarray(ola_mod.overlap_add(frames, 256))
+    got = helpers.run_planes(lambda fr: ola_mod.overlap_add(fr, 256),
+                             frames)
     want = oracle_np.istft_ola(np.fft.rfft(frames, axis=-1),
                                np.ones(512), 256)
     np.testing.assert_allclose(got, want, atol=1e-4)
@@ -54,9 +56,10 @@ def test_wola_reconstruction():
     n = 8192
     x = rng.standard_normal(n).astype(np.float32)
     w = win_mod.sqrt_hann(512)
-    spec = stft_mod.stft(x[None], w, 256)
-    frames = stft_mod.istft_frames(spec, w)
-    y = np.asarray(ola_mod.overlap_add(frames[0], 256))
+    y = helpers.run_planes(
+        lambda xx: ola_mod.overlap_add(
+            stft_mod.istft_frames(stft_mod.stft(xx[None], w, 256), w)[0],
+            256), x)
     # steady state: skip the first/last frame of partial overlap
     a, b = 512, y.shape[-1] - 512
     assert helpers.snr_db(x[a:b], y[a:b]) > 80.0
@@ -67,13 +70,16 @@ def test_streaming_ola_bit_equals_batch():
     rng = np.random.default_rng(4)
     t_total, frame_len, hop = 32, 512, 256
     frames = rng.standard_normal((t_total, frame_len)).astype(np.float32)
-    full = np.asarray(ola_mod.overlap_add(frames, hop))
+    full = helpers.run_planes(lambda fr: ola_mod.overlap_add(fr, hop),
+                              frames)
 
     tail = np.zeros(frame_len - hop, np.float32)
     outs = []
     bs = 8
     for i in range(0, t_total, bs):
-        out, tail = ola_mod.streaming_overlap_add(frames[i:i + bs], hop, tail)
-        outs.append(np.asarray(out))
+        out, tail = helpers.run_planes(
+            lambda fr, tl: ola_mod.streaming_overlap_add(fr, hop, tl),
+            frames[i:i + bs], tail)
+        outs.append(out)
     streamed = np.concatenate(outs)
     np.testing.assert_allclose(streamed, full[:len(streamed)], atol=1e-6)

@@ -18,7 +18,8 @@ def _geom2():
 
 def _spec(g, az_deg=30.0, seed=0):
     x = helpers.array_signals(g, np.deg2rad(az_deg), 8192, seed=seed)
-    return stft_mod.stft(x, win_mod.hann(512), 256)
+    return helpers.run_planes(
+        lambda xx: stft_mod.stft(xx, win_mod.hann(512), 256), x)
 
 
 @pytest.mark.parametrize("weighting", ["phat", "scot", "roth", "cc"])
@@ -27,7 +28,9 @@ def test_all_weightings_recover_tdoa(weighting):
     az = np.deg2rad(30.0)
     spec = _spec(g, 30.0)
     plan = gcc.make_plan(g, 512)
-    res = gcc.gcc_phat_block(spec, g.pairs, plan, weighting=weighting)
+    res = helpers.run_planes(
+        lambda sp: gcc.gcc_phat_block(sp, g.pairs, plan,
+                                      weighting=weighting), spec)
     expected = g.pair_tdoas(np.asarray([az]))[0, 0]
     tol = (0.3 if weighting in ("phat", "scot") else 1.0) / g.sample_rate
     assert abs(np.median(np.asarray(res["tdoa"])[0]) - expected) < tol
@@ -35,20 +38,24 @@ def test_all_weightings_recover_tdoa(weighting):
 
 def test_weighting_formulas():
     g = _geom2()
-    spec = np.asarray(_spec(g, 10.0))
+    spec = _spec(g, 10.0)
     pairs = g.pairs
-    raw = np.asarray(kcps.cps_weighted(spec, pairs, "cc"))
+    raw = helpers.run_planes(
+        lambda sp: kcps.cps_weighted(sp, pairs, "cc"), spec)
     want_raw = spec[0] * np.conj(spec[1])
     np.testing.assert_allclose(raw[0], want_raw, rtol=1e-4, atol=1e-4)
-    scot = np.asarray(kcps.cps_weighted(spec, pairs, "scot"))
+    scot = helpers.run_planes(
+        lambda sp: kcps.cps_weighted(sp, pairs, "scot"), spec)
     want = want_raw / (np.sqrt(np.abs(spec[0]) ** 2 * np.abs(spec[1]) ** 2)
                        + 1e-12)
     np.testing.assert_allclose(scot[0], want, rtol=1e-3, atol=1e-4)
-    roth = np.asarray(kcps.cps_weighted(spec, pairs, "roth"))
+    roth = helpers.run_planes(
+        lambda sp: kcps.cps_weighted(sp, pairs, "roth"), spec)
     want = want_raw / (np.abs(spec[0]) ** 2 + 1e-12)
     np.testing.assert_allclose(roth[0], want, rtol=1e-3, atol=1e-4)
     with pytest.raises(ValueError, match="unknown GCC weighting"):
-        kcps.cps_weighted(spec, pairs, "ml")
+        helpers.run_planes(
+            lambda sp: kcps.cps_weighted(sp, pairs, "ml"), spec)
 
 
 def test_srp_interpolation_improves_offgrid_doa():
@@ -56,12 +63,15 @@ def test_srp_interpolation_improves_offgrid_doa():
                           sample_rate=16000)
     true_deg = 40.6                              # between 1-deg grid points
     x = helpers.array_signals(g, np.deg2rad(true_deg), 16384, seed=3)
-    spec = stft_mod.stft(x, win_mod.hann(512), 256)
     plan = srp.make_plan(g, 512, 360)
-    power = srp.srp_surface(spec, g.pairs, plan)
-    pmean = np.asarray(power).mean(axis=0)[None]
-    az_g, _ = srp.argmax_doa(pmean, plan, interpolate=False)
-    az_i, _ = srp.argmax_doa(pmean, plan, interpolate=True)
+    power = helpers.run_planes(
+        lambda xx: srp.srp_surface(
+            stft_mod.stft(xx, win_mod.hann(512), 256), g.pairs, plan), x)
+    pmean = power.mean(axis=0)[None]
+    az_g, _ = helpers.run_planes(
+        lambda pm: srp.argmax_doa(pm, plan, interpolate=False), pmean)
+    az_i, _ = helpers.run_planes(
+        lambda pm: srp.argmax_doa(pm, plan, interpolate=True), pmean)
     err_g = abs(np.rad2deg(float(az_g[0])) - true_deg)
     err_i = abs(np.rad2deg(float(az_i[0])) - true_deg)
     assert err_i <= err_g + 1e-6

@@ -22,14 +22,16 @@ def _geom(c=8, fs=16000):
 def _spectra(g, az_deg=30.0, n=4096, seed=21):
     x = helpers.array_signals(g, np.deg2rad(az_deg), n, seed=seed,
                               noise_db=-20.0)
-    return np.asarray(stft_mod.stft(x, win_mod.hann(512), 256))
+    return helpers.run_planes(
+        lambda xx: stft_mod.stft(xx, win_mod.hann(512), 256), x)
 
 
 def test_block_covariance_matches_per_frame_recursion():
     g = _geom()
     spec = _spectra(g)
-    r0 = np.asarray(cov_mod.init(257, 8))
-    got = np.asarray(cov_mod.update(r0, spec, 0.95))
+    r0 = np.zeros((257, 8, 8), np.complex64)
+    got = helpers.run_planes(lambda r, sp: cov_mod.update(r, sp, 0.95),
+                             r0, spec)
     want = oracle_np.covariance_update(r0, spec, 0.95)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
@@ -37,7 +39,8 @@ def test_block_covariance_matches_per_frame_recursion():
 def test_covariance_is_hermitian_psd():
     g = _geom()
     spec = _spectra(g)
-    r = np.asarray(cov_mod.update(np.asarray(cov_mod.init(257, 8)), spec, 0.9))
+    r = helpers.run_planes(
+        lambda sp: cov_mod.update(cov_mod.init(257, 8), sp, 0.9), spec)
     np.testing.assert_allclose(r, np.conj(np.swapaxes(r, -1, -2)), rtol=1e-5,
                                atol=1e-5)
     ev = np.linalg.eigvalsh(r)
@@ -52,7 +55,7 @@ def test_hermitian_solve_matches_numpy():
          0.1 * np.eye(c)).astype(np.complex64)
     d = (rng.standard_normal((f, c)) + 1j * rng.standard_normal((f, c))
          ).astype(np.complex64)
-    got = np.asarray(mvdr.hermitian_solve(r, d))
+    got = helpers.run_planes(mvdr.hermitian_solve, r, d)
     want = np.stack([np.linalg.solve(r[i].astype(np.complex128), d[i])
                      for i in range(f)])
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
@@ -61,9 +64,11 @@ def test_hermitian_solve_matches_numpy():
 def test_mvdr_weights_match_oracle_and_distortionless():
     g = _geom()
     spec = _spectra(g)
-    r = np.asarray(cov_mod.update(np.asarray(cov_mod.init(257, 8)), spec, 0.95))
-    steer = delaysum.steering_vector(g, np.deg2rad(30.0), 512)   # [C, F]
-    got = np.asarray(mvdr.weights(r, steer, diag_load=1e-3))
+    r = helpers.run_planes(
+        lambda sp: cov_mod.update(cov_mod.init(257, 8), sp, 0.95), spec)
+    steer = np.asarray(delaysum.steering_vector(g, np.deg2rad(30.0), 512))
+    got = helpers.run_planes(
+        lambda rr, dd: mvdr.weights(rr, dd, diag_load=1e-3), r, steer)
     want = oracle_np.mvdr_weights(r, steer, 1e-3)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
     # distortionless: w^H d = 1 per bin (SURVEY.md §4.2.2)
@@ -81,15 +86,19 @@ def test_mvdr_suppresses_interferer():
     interf = helpers.array_signals(g, np.deg2rad(-80.0), n, seed=2,
                                    noise_db=-60.0)
     w = win_mod.hann(512)
-    spec_int = np.asarray(stft_mod.stft(interf, w, 256))
+    spec_int = helpers.run_planes(lambda xx: stft_mod.stft(xx, w, 256),
+                                  interf)
     # noise covariance from the interference-only segment (classic MVDR setup)
-    r = np.asarray(cov_mod.update(np.asarray(cov_mod.init(257, 8)),
-                                  spec_int, 0.9))
-    steer = delaysum.steering_vector(g, np.deg2rad(30.0), 512)
-    wts = mvdr.weights(r, steer, 1e-3)
-    resid_mvdr = np.abs(np.asarray(mvdr.beamform(spec_int, wts))) ** 2
-    resid_ds = np.abs(np.asarray(delaysum.beamform(spec_int,
-                                                   np.asarray(steer)))) ** 2
+    steer = np.asarray(delaysum.steering_vector(g, np.deg2rad(30.0), 512))
+
+    def chain(sp, st):
+        r = cov_mod.update(cov_mod.init(257, 8), sp, 0.9)
+        wts = mvdr.weights(r, st, 1e-3)
+        return mvdr.beamform(sp, wts), delaysum.beamform(sp, st)
+
+    y_mvdr, y_ds = helpers.run_planes(chain, spec_int, steer)
+    resid_mvdr = np.abs(y_mvdr) ** 2
+    resid_ds = np.abs(y_ds) ** 2
     # MVDR nulls the interferer far deeper than delay-sum
     assert resid_mvdr.sum() < 0.05 * resid_ds.sum()
 
@@ -97,5 +106,7 @@ def test_mvdr_suppresses_interferer():
 def test_diagonal_loading_regularises():
     c = 4
     r = np.zeros((1, c, c), np.complex64)          # singular
-    loaded = np.asarray(cov_mod.loaded(r + np.eye(c) * 1e-9, 1e-2))
+    loaded = helpers.run_planes(
+        lambda rr: cov_mod.loaded(rr, 1e-2),
+        (r + np.eye(c) * 1e-9).astype(np.complex64))
     assert np.linalg.cond(loaded[0]).real < 1e8

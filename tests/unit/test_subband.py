@@ -24,21 +24,24 @@ def test_banded_srp_equals_masked_fullband():
     g = geo.ArrayGeometry(positions=geo.circular_positions(8, 0.05),
                           sample_rate=16000)
     x = helpers.array_signals(g, np.deg2rad(55.0), 4096, seed=0)
-    spec = stft_mod.stft(x, win_mod.hann(512), 256)
+    spec = helpers.run_planes(
+        lambda xx: stft_mod.stft(xx, win_mod.hann(512), 256), x)
     band = (300.0, 4000.0)
     plan_b = srp.make_plan(g, 512, 72, band_hz=band)
-    power_b = np.asarray(srp.srp_surface(spec, g.pairs, plan_b))
+    power_b = helpers.run_planes(
+        lambda sp: srp.srp_surface(sp, g.pairs, plan_b), spec)
     # oracle: zero the CPS outside the band, full-band plan
     plan_f = srp.make_plan(g, 512, 72)
     from mcax.kernels import cps as kcps
-    gph = np.asarray(kcps.cps_phat(spec, g.pairs))
-    gph = gph * srp.band_bins(512, 16000.0, band)
     from mcax.kernels import steer as ksteer
-    want = np.asarray(ksteer.srp_power(gph.astype(np.complex64),
-                                       plan_f.e_re, plan_f.e_im))
+    want = helpers.run_planes(
+        lambda sp: ksteer.srp_power(
+            kcps.cps_phat(sp, g.pairs)
+            * srp.band_bins(512, 16000.0, band),
+            plan_f.e_re, plan_f.e_im), spec)
     np.testing.assert_allclose(power_b, want, rtol=1e-4, atol=1e-3)
     # band-limited SRP still localises
-    az, _ = srp.argmax_doa(power_b, plan_b)
+    az, _ = srp.argmax_doa(np.asarray(power_b), plan_b)
     assert abs(np.rad2deg(np.median(np.asarray(az))) - 55.0) <= 5.0
 
 
@@ -47,9 +50,10 @@ def test_banded_gcc_still_recovers_tdoa():
                           sample_rate=16000)
     az = np.deg2rad(40.0)
     x = helpers.array_signals(g, az, 8192, seed=1)
-    spec = stft_mod.stft(x, win_mod.hann(512), 256)
     plan = gcc.make_plan(g, 512, band_hz=(200.0, 6000.0))
-    res = gcc.gcc_phat_block(spec, g.pairs, plan)
+    res = helpers.run_planes(
+        lambda xx: gcc.gcc_phat_block(
+            stft_mod.stft(xx, win_mod.hann(512), 256), g.pairs, plan), x)
     expected = g.pair_tdoas(np.asarray([az]))[0, 0]
     assert abs(np.median(np.asarray(res["tdoa"])[0]) - expected) < 0.5 / 16000
 

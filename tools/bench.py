@@ -429,16 +429,54 @@ def verify_kernels(c=8, t=24, blocks=64, f=513, g=360):
           lambda s_: kcps.cps_phat(s_[:, :256], geom.pairs))], 1e-5)
 
     # fused single-pass SRP kernel vs the materialised-CPS XLA path, at
-    # a batched shape.  Bound reflects Mosaic's fast cos/sin range
-    # reduction at |phase|~20 rad (~2e-3 of surface scale, measured r4);
-    # the normalised comparison in the on-chip pytest lane also asserts
-    # the exact peak choice.
+    # a batched shape.  r5: the default bf16x3 hi/lo dot tier carries
+    # ~1.5e-5 relative error and the in-kernel range reduction removed
+    # the aperture-dependent cos/sin term, so the bound is 1e-4 — the
+    # same class as every other check (was 1e-2 in r4, whose real cause
+    # was Mosaic's single-bf16-pass default dots).  The on-chip pytest
+    # lane additionally asserts the exact peak choice.
     run("srp_fused_vs_xla",
         [({"MCAX_SRP": "fused"},
           lambda s_: srp.srp_surface(s_[:, :t * 8], geom.pairs, plan)),
          ({"MCAX_SRP": "xla", "MCAX_BACKEND": "xla"},
           lambda s_: srp.srp_surface(s_[:, :t * 8], geom.pairs, plan))],
-        1e-2 if on_tpu else 1e-5)
+        1e-4 if on_tpu else 1e-5)
+    # ...and at a config4-like 48 kHz / 10 cm-aperture shape, where the
+    # steering phases reach |omega tau| ~ 50 rad: pins that the fused
+    # kernel's accuracy is NOT input-dependent (VERDICT r4 weak 5 — the
+    # r4 bound was only ever measured at 16 kHz / 5 cm)
+    geom48 = geo.ArrayGeometry(positions=geo.circular_positions(8, 0.10),
+                               sample_rate=48000)
+    plan48 = srp.make_plan(geom48, 1024, g)
+    sr48 = jnp.asarray(rng.standard_normal((8, t * 8, 513))
+                       .astype(np.float32))
+    si48 = jnp.asarray(rng.standard_normal((8, t * 8, 513))
+                       .astype(np.float32))
+
+    def run48(name, env_pairs, bound):
+        outs = []
+        for env, fn in env_pairs:
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                jf = jax.jit(lambda a, b: _planes(fn(jax.lax.complex(a, b))))
+                outs.append(jf(sr48, si48))
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+        err = _rel_err(outs[0], outs[1])
+        checks[name] = {"rel_err": err, "bound": bound,
+                        "pass": bool(err < bound)}
+
+    run48("srp_fused_vs_xla_48k_widearray",
+          [({"MCAX_SRP": "fused"},
+            lambda s_: srp.srp_surface(s_, geom48.pairs, plan48)),
+           ({"MCAX_SRP": "xla", "MCAX_BACKEND": "xla"},
+            lambda s_: srp.srp_surface(s_, geom48.pairs, plan48))],
+          1e-4 if on_tpu else 1e-5)
 
     # fused covariance-prefix kernel vs the einsum+scan reference
     run("covprefix_fused_vs_xla",

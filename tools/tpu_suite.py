@@ -22,13 +22,31 @@ import time
 import xml.etree.ElementTree as ET
 
 # The on-chip lane: every file whose tests exercise compiled Pallas
-# kernels or the production pipeline path where it actually ships.
+# kernels, the algo layer, or the production pipeline path where it
+# actually ships (r5: extended from the 5-file kernel/pipeline subset to
+# the full algo + frames + boundary suites — VERDICT r4 item 6; the
+# tests route complex values through tests/helpers.run_planes, the
+# production float-plane jit-boundary pattern).  One pytest process per
+# file: the tunneled backend can wedge, and cross-file jit-cache/env
+# interactions in a shared process produce spurious failures that the
+# per-file runs do not.
 LANE = [
     "tests/unit/test_covprefix.py",
     "tests/unit/test_kernels_pallas.py",
     "tests/unit/test_mvdrsolve.py",
     "tests/unit/test_fft.py",
     "tests/unit/test_pipeline.py",
+    "tests/unit/test_srp.py",
+    "tests/unit/test_gcc.py",
+    "tests/unit/test_gcc_weightings.py",
+    "tests/unit/test_mvdr.py",
+    "tests/unit/test_frames.py",
+    "tests/unit/test_filters.py",
+    "tests/unit/test_subband.py",
+    "tests/unit/test_tracking.py",
+    "tests/unit/test_particle.py",
+    "tests/unit/test_process_blocks.py",
+    "tests/unit/test_boundaries.py",
 ]
 
 
