@@ -341,11 +341,21 @@ class ShardedPipeline:
                         ).astype(jnp.float32)                # [fsl]
 
             def fslice(x, axis=-1):
+                # clipped gather of THIS shard's bins + a zero mask on the
+                # clipped tail — r5: the old jnp.pad-then-dynamic-slice
+                # materialised a full padded copy of the (gathered, large)
+                # operand per shard before slicing 1/sc of it; the pad
+                # copies were among the largest non-compute ops in the
+                # virtual-mesh profile (wrapped_pad).  Values identical:
+                # pad bins are exactly zero either way.
                 ax = axis % x.ndim
-                pads = [(0, 0)] * x.ndim
-                pads[ax] = (0, fpad - f)
-                return lax.dynamic_slice_in_dim(jnp.pad(x, pads), ci * fsl,
-                                                fsl, axis=ax)
+                idx = jnp.clip(ci * fsl + jnp.arange(fsl), 0, f - 1)
+                sl = jnp.take(x, idx, axis=ax)
+                shape = [1] * x.ndim
+                shape[ax] = fsl
+                keep = (1.0 - pad_mask).reshape(shape)
+                return sl * keep.astype(
+                    jnp.float32 if not jnp.iscomplexobj(sl) else sl.dtype)
 
             def fgather(x, axis=-1):
                 ax = axis % x.ndim
