@@ -75,9 +75,26 @@ def main() -> None:
     from mcax.pipeline import Pipeline
 
     cfg = get_config("config4")
+    import os
+    import subprocess
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--timed-batch":
+        # child mode: 5 reps at ONE batch size — a single compiled
+        # program in a fresh process (see below)
+        batch = int(sys.argv[2])
+        pipe = Pipeline(cfg)
+        iters = max(8, 2048 // batch)
+        _time_batch(pipe, cfg, batch, iters)   # throwaway: the tunnel's
+        # fast dispatch mode latches only after ~1 s of chained
+        # dispatches in a fresh program (PERF.md round-2 hazards)
+        reps = [_time_batch(pipe, cfg, batch, iters) for _ in range(5)]
+        print(json.dumps({"reps": reps}))
+        return
+
     pipe = Pipeline(cfg)
     deadline = time.monotonic() + float(
-        __import__("os").environ.get("MCAX_BENCH_BUDGET_S", "420"))
+        os.environ.get("MCAX_BENCH_BUDGET_S", "420"))
 
     # --- batch auto-tune: one short probe per candidate --------------------
     # deadline-aware: the tunneled backend occasionally stalls for minutes
@@ -94,14 +111,31 @@ def main() -> None:
             break
     batch = max(probes, key=probes.get)
 
-    # --- repetitions at the winning batch ----------------------------------
-    # keep total samples per repetition comparable across batch choices
-    iters = max(4, 1024 // batch)
+    # --- repetitions at the winning batch, in a FRESH process --------------
+    # Programs alternating in one process can latch the tunnel's slow
+    # dispatch mode for whole timings (PERF.md round-2 hazards; measured
+    # r5: 201-212 M samples/s when the reps follow the 4-candidate probe
+    # in-process vs 267-291 M for the same program alone).  The probe
+    # phase above ran four programs, so the reps run in a child process
+    # that compiles and times ONLY the winner; any child failure falls
+    # back to in-process reps so the driver always gets a number.
     reps = []
-    for _ in range(5):
-        reps.append(_time_batch(pipe, cfg, batch, iters))
-        if len(reps) >= 3 and time.monotonic() > deadline:
-            break
+    if time.monotonic() < deadline - 150:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--timed-batch", str(batch)],
+                capture_output=True, text=True, timeout=max(
+                    60.0, deadline - time.monotonic()), check=True)
+            reps = json.loads(out.stdout.strip().splitlines()[-1])["reps"]
+        except Exception:
+            reps = []
+    if not reps:
+        iters = max(4, 1024 // batch)
+        for _ in range(5):
+            reps.append(_time_batch(pipe, cfg, batch, iters))
+            if len(reps) >= 3 and time.monotonic() > deadline:
+                break
     value = statistics.median(reps)
     spread = (max(reps) - min(reps)) / value if value else float("inf")
 
