@@ -217,3 +217,139 @@ def stft_fused_planes(x: jnp.ndarray, window: np.ndarray, hop: int):
         interpret=dispatch.interpret_mode(),
     )(slabs, slabs, *w_arrays)
     return re.reshape(*lead, t, f), im.reshape(*lead, t, f)
+
+
+def stft_fused_from_blocks(samples: jnp.ndarray, carry: jnp.ndarray,
+                           window: np.ndarray, hop: int):
+    """Spectra planes straight from the BATCHED input layout.
+
+    The batched pipeline's assembly previously transposed [B, C, L] to
+    [C, B*L], concatenated the carry, and let XLA materialise a slab
+    layout copy — ~1.2 ms/dispatch of pure data movement at the
+    batch-512 config-4 shape (pad_maximum_fusion + copy in the r5
+    profile).  This variant reads the [B, C, T', hop] RESHAPE-VIEW of
+    the input directly: grid (C, B-tiles); per step the kernel fetches a
+    [nb, 1, T', hop] box (nb input blocks of one channel — a valid
+    memory box, unlike a cross-block slab run in channel-major order),
+    the previous box's last slab via a second BlockSpec, and the
+    streaming carry for the very first frame.  Frame t's hi slab is
+    samples slab t and its lo slab is samples slab t-1 (carry at t=0),
+    so ``lo = [prev; box[:-1]], hi = box``.
+
+    Args:
+      samples: [B, C, L] float32 with L % hop == 0.
+      carry: [C, frame-hop] float32 (the previous dispatch's tail);
+        frame = 2*hop so this is [C, hop].
+      window: [2*hop] analysis window (host constant).
+      hop: frame advance.
+    Returns:
+      (re, im [C, B*T', F], new_carry [C, hop]).
+    """
+    n = int(window.shape[0])
+    assert n == 2 * hop
+    f = n // 2 + 1
+    bb, c, block_len = samples.shape
+    tprime = block_len // hop
+    m = bb * tprime
+    f_pad = _round_up(f, _LANE)
+    tier = _tier()
+    win_key = kfft._register_window(window)
+    mats = _split_matrices(n, f, win_key)
+    if tier == "x3":
+        w_names = ("wr_top_h", "wr_top_l", "wr_bot_h", "wr_bot_l",
+                   "wi_top_h", "wi_top_l", "wi_bot_h", "wi_bot_l")
+    else:
+        w_names = ("wr_top", "wr_bot", "wi_top", "wi_bot")
+    w_arrays = [mats[name] for name in w_names]
+    w_specs = [pl.BlockSpec((hop, f_pad), lambda ci, i: (0, 0),
+                            memory_space=pltpu.VMEM)
+               for _ in w_arrays]
+    # blocks per tile: target ~192-256 frame rows per dot
+    nb = max(1, min(bb, 256 // tprime))
+    n_tiles = -(-bb // nb)
+    slabs = samples.reshape(bb, c, tprime, hop)
+    tp8 = tprime // _SUBLANE if tprime % _SUBLANE == 0 else None
+    assert tp8 is not None, "frames_per_block must be a multiple of 8"
+
+    def _kern(slab_ref, prev_ref, carry_ref, *rest):
+        if tier == "x3":
+            w_refs, (re_ref, im_ref) = rest[:8], rest[8:]
+        else:
+            w_refs, (re_ref, im_ref) = rest[:4], rest[4:]
+        ci = pl.program_id(0)
+        i = pl.program_id(1)
+        rows = slab_ref.shape[0] * slab_ref.shape[2]
+        hi = slab_ref[...].reshape(rows, hop)
+        prev_tail = prev_ref[0, 0, _SUBLANE - 1:_SUBLANE]  # [1, hop]
+        carry_row = carry_ref[pl.ds(ci, 1), :]             # [1, hop]
+        first = jnp.where(i == 0, carry_row, prev_tail)
+        lo = jnp.concatenate([first, hi[:-1]], axis=0)
+
+        def dot(a, b, prec=jax.lax.Precision.DEFAULT):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=prec)
+
+        if tier == "x3":
+            (wrt_h, wrt_l, wrb_h, wrb_l,
+             wit_h, wit_l, wib_h, wib_l) = (r[...] for r in w_refs)
+            lo_h = lo.astype(jnp.bfloat16)
+            lo_l = (lo - lo_h.astype(jnp.float32)).astype(jnp.bfloat16)
+            hi_h = hi.astype(jnp.bfloat16)
+            hi_l = (hi - hi_h.astype(jnp.float32)).astype(jnp.bfloat16)
+            re_ref[0] = (dot(lo_h, wrt_h) + dot(lo_h, wrt_l)
+                         + dot(lo_l, wrt_h) + dot(hi_h, wrb_h)
+                         + dot(hi_h, wrb_l) + dot(hi_l, wrb_h))
+            im_ref[0] = (dot(lo_h, wit_h) + dot(lo_h, wit_l)
+                         + dot(lo_l, wit_h) + dot(hi_h, wib_h)
+                         + dot(hi_h, wib_l) + dot(hi_l, wib_h))
+        else:
+            wrt, wrb, wit, wib = (r[...] for r in w_refs)
+            prec = (jax.lax.Precision.HIGHEST if tier == "x6"
+                    else jax.lax.Precision.DEFAULT)
+            if tier == "x1":
+                lo = lo.astype(jnp.bfloat16)
+                hi = hi.astype(jnp.bfloat16)
+            re_ref[0] = dot(lo, wrt, prec) + dot(hi, wrb, prec)
+            im_ref[0] = dot(lo, wit, prec) + dot(hi, wib, prec)
+
+    re, im = pl.pallas_call(
+        _kern,
+        grid=(c, n_tiles),
+        in_specs=[
+            pl.BlockSpec((nb, 1, tprime, hop),
+                         lambda ci, i: (i, ci, 0, 0),
+                         memory_space=pltpu.VMEM),        # tile's blocks
+            # previous box's LAST slab: an 8-slab block of the PREVIOUS
+            # input block's tail (clamped at 0; unused there — the carry
+            # covers frame 0)
+            pl.BlockSpec((1, 1, _SUBLANE, hop),
+                         lambda ci, i: (jnp.maximum(i * nb - 1, 0), ci,
+                                        tp8 - 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((carry.shape[0], hop), lambda ci, i: (0, 0),
+                         memory_space=pltpu.VMEM),        # streaming carry
+                         # (whole [C, hop] resident — a (1, hop) block
+                         # would violate Mosaic's sublane-divisibility)
+            *w_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nb * tprime, f_pad),
+                         lambda ci, i: (ci, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb * tprime, f_pad),
+                         lambda ci, i: (ci, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((c, m, f), jnp.float32),
+                   jax.ShapeDtypeStruct((c, m, f), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * m * c * n * f,
+            bytes_accessed=4 * (bb * c * block_len + 2 * c * m * f),
+            transcendentals=0,
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(slabs, slabs, carry, *w_arrays)
+    new_carry = samples[-1, :, -hop:]
+    return re, im, new_carry

@@ -182,10 +182,27 @@ class Pipeline:
         t = cfg.frames_per_block
         bt = b * t
 
-        flat = jnp.moveaxis(samples, 1, 0).reshape(c, b * block_len)
-        x = jnp.concatenate([state.carry, flat], axis=-1)
-        new_carry = x[:, bt * hop:]
-        spectra = stft_mod.stft(x, self.win_a, hop)          # [C, B*T, F]
+        from mcax.kernels import dispatch as kdisp
+
+        lh = cfg.stft.frame_len - hop
+        if (cfg.stft.frame_len == 2 * hop and block_len % hop == 0
+                and (block_len // hop) % 8 == 0 and t == block_len // hop
+                and kdisp.stft_backend() == "fused"):
+            # blocks-native analysis (r5): the fused kernel reads the
+            # [B, C, T, hop] reshape-VIEW of the input directly — the
+            # channel-major transpose + carry concat + slab layout copy
+            # this path previously materialised were ~1.2 ms/dispatch of
+            # pure data movement at the batch-512 config-4 shape
+            from mcax.kernels import stft_fused as ksf
+
+            sp_re, sp_im, new_carry = ksf.stft_fused_from_blocks(
+                samples, state.carry, self.win_a, hop)
+            spectra = jax.lax.complex(sp_re, sp_im)          # [C, B*T, F]
+        else:
+            flat = jnp.moveaxis(samples, 1, 0).reshape(c, b * block_len)
+            x = jnp.concatenate([state.carry, flat], axis=-1)
+            new_carry = x[:, bt * hop:]
+            spectra = stft_mod.stft(x, self.win_a, hop)      # [C, B*T, F]
         # frames tile the concatenated stream exactly as the sequential
         # carry+block framing does, so spectra match the scan mode's
 

@@ -147,3 +147,46 @@ def test_stft_fused_matches_xla(monkeypatch, c, nblk, hop, tb_env):
     atol = 2e-4 if _ON_TPU else 2e-6
     np.testing.assert_allclose(got_re / scale, want_re / scale, atol=atol)
     np.testing.assert_allclose(got_im / scale, want_im / scale, atol=atol)
+
+
+@pytest.mark.parametrize("b,c,hop,tprime", [(5, 3, 256, 16), (3, 2, 512, 8)])
+def test_stft_fused_from_blocks_matches_concat(monkeypatch, b, c, hop,
+                                               tprime):
+    """The blocks-native fused analysis (reads [B, C, T, hop] directly,
+    carry + cross-block boundaries in-kernel) equals the concat-then-stft
+    chain frame-for-frame (r5)."""
+    from mcax.frames import stft as stft_mod
+    from mcax.frames import window as win_mod
+    from mcax.kernels import stft_fused
+
+    if not _ON_TPU:
+        monkeypatch.setenv("MCAX_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("MCAX_BACKEND", "pallas")
+    monkeypatch.setenv("MCAX_STFT", "fused")
+    n = 2 * hop
+    win = win_mod.hann(n)
+    rng = np.random.default_rng(8)
+    samples = rng.standard_normal((b, c, tprime * hop)).astype(np.float32)
+    carry = rng.standard_normal((c, hop)).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fused(s, cr):
+        re, im, nc = stft_fused.stft_fused_from_blocks(s, cr, win, hop)
+        return re, im, nc
+
+    @jax.jit
+    def ref(s, cr):
+        flat = jnp.moveaxis(s, 1, 0).reshape(c, -1)
+        x = jnp.concatenate([cr, flat], axis=-1)
+        sp = stft_mod.stft(x, win, hop)
+        return jnp.real(sp), jnp.imag(sp), x[:, b * tprime * hop:]
+
+    got_re, got_im, got_c = (np.asarray(v) for v in fused(samples, carry))
+    want_re, want_im, want_c = (np.asarray(v) for v in ref(samples, carry))
+    assert got_re.shape == want_re.shape == (c, b * tprime, hop + 1)
+    scale = max(np.abs(want_re).max(), np.abs(want_im).max()) + 1e-12
+    np.testing.assert_allclose(got_re / scale, want_re / scale, atol=3e-6)
+    np.testing.assert_allclose(got_im / scale, want_im / scale, atol=3e-6)
+    np.testing.assert_array_equal(got_c, want_c)
