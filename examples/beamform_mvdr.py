@@ -12,6 +12,12 @@ import sys
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # runnable as `python examples/<x>.py`
+
 from mcax.config import get_config
 from mcax.io.wav import write_wav
 from mcax.pipeline import Pipeline

@@ -16,6 +16,12 @@ On a pod slice, run one process per host with
 import jax
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))   # runnable as `python examples/<x>.py`
+
 from mcax.config import get_config
 from mcax.dist import mesh as mesh_mod
 from mcax.dist.sharded import ShardedPipeline

@@ -38,3 +38,9 @@ def test_sharded_example():
     import sharded_mesh
     doa = sharded_mesh.main(nblocks=4)
     assert abs(doa - (-75.0)) < 3.0, doa
+
+
+def test_throughput_example():
+    import throughput
+    sps = throughput.main(batch=4, dispatches=2, config="config1")
+    assert np.isfinite(sps) and sps > 0
